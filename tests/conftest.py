@@ -1,0 +1,20 @@
+"""Test config: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a fake 8-device CPU mesh
+(the standard JAX trick; see SURVEY.md section 4).
+
+NOTE: this environment's sitecustomize registers an `axon` TPU backend and
+overrides JAX_PLATFORMS, so we must force CPU via jax.config after import.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
