@@ -73,9 +73,23 @@ def canonicalize_quat_sign(q: jax.Array) -> jax.Array:
     return q * sig
 
 
+def safe_norm(v: jax.Array, axis: int = -1, keepdims: bool = False) -> jax.Array:
+    """L2 norm with a well-defined zero gradient at v == 0.
+
+    jnp.linalg.norm has a NaN gradient at exactly zero input; padded plane
+    slots are exactly zero, and NaN * mask == NaN would poison the whole
+    gradient. The double-where trick keeps both value and grad clean.
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    is_zero = sq == 0
+    sq_safe = jnp.where(is_zero, 1.0, sq)
+    return jnp.where(is_zero, 0.0, jnp.sqrt(sq_safe))
+
+
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """L2 normalisation matching torch.nn.functional.normalize semantics."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    """L2 normalisation matching torch.nn.functional.normalize semantics,
+    with zero-safe gradients (returns 0 for zero vectors)."""
+    n = safe_norm(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, eps)
 
 
@@ -170,7 +184,7 @@ def warp_planes_to_global(
     rot = quat_to_rotmat(quat)  # [..., 3, 3]
     end = jnp.einsum("...ij,...pj->...pi", rot, _flip(planes)) + tran[..., None, :]
     b = end - tran[..., None, :]
-    scale = jnp.sum(end * b, axis=-1) / jnp.square(jnp.linalg.norm(b, axis=-1) + eps)
+    scale = jnp.sum(end * b, axis=-1) / jnp.square(safe_norm(b, axis=-1) + eps)
     return scale[..., None] * b
 
 

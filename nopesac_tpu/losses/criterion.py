@@ -1,0 +1,249 @@
+"""Set-prediction criterion for plane detection (Hungarian match + losses).
+
+Spec: modeling/criterion.py + modeling/matcher.py. Fixed-shape rewrite:
+  * per-image Python loops become batched masked tensor ops;
+  * scipy LSA on CPU becomes the on-device JV solver (losses/hungarian.py);
+  * `match[b, q] in [0, NGT) or -1` encodes the permutation.
+
+Targets layout (produced by the data pipeline, all fixed shape):
+  gt_valid   [B, NG] bool      gt_masks   [B, NG, H, W] (0/1)
+  gt_params  [B, NG, 3]        gt_centers [B, NG, 2]
+  gt_pixel_centers [B, H, W, 2]
+  depth      [B, H, W]         k_inv_dot_xy1 [B, 3, H, W]
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import safe_norm
+from .hungarian import hungarian_device
+
+
+# ---------------------------------------------------------------------------
+# pairwise costs (matcher.py:12-163)
+# ---------------------------------------------------------------------------
+
+def _bce_logits(x, target):
+    # binary_cross_entropy_with_logits, elementwise
+    return jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def batch_sigmoid_focal_cost(inputs, targets, alpha=0.25, gamma=2.0):
+    """[NQ, HW] x [NG, HW] -> [NQ, NG] focal cost (matcher.py:30-63)."""
+    hw = inputs.shape[-1]
+    prob = jax.nn.sigmoid(inputs)
+    focal_pos = ((1 - prob) ** gamma) * _bce_logits(inputs, jnp.ones_like(inputs)) * alpha
+    focal_neg = (prob ** gamma) * _bce_logits(inputs, jnp.zeros_like(inputs)) * (1 - alpha)
+    loss = jnp.einsum("nc,mc->nm", focal_pos, targets) + jnp.einsum(
+        "nc,mc->nm", focal_neg, 1 - targets
+    )
+    return loss / hw
+
+
+def batch_dice_cost(inputs, targets):
+    """[NQ, HW] x [NG, HW] -> [NQ, NG] dice cost (matcher.py:12-27)."""
+    inputs = jax.nn.sigmoid(inputs)
+    numerator = 2 * jnp.einsum("nc,mc->nm", inputs, targets)
+    denominator = inputs.sum(-1)[:, None] + targets.sum(-1)[None, :]
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def compute_match_cost(outputs: Dict, targets: Dict, weights: Dict) -> jnp.ndarray:
+    """Per-image DETR matching cost matrix [B, NQ, NG] (matcher.py:104-163)."""
+    logits = outputs["pred_logits"]  # [B, NQ, 2]
+    b, nq, _ = logits.shape
+    mask_logits = outputs["pred_mask_logits"]  # [B, NQ, h, w]
+    h, w = mask_logits.shape[-2:]
+
+    out_prob = jax.nn.softmax(logits, axis=-1)
+    cost_class = -out_prob[..., 0:1]  # [B, NQ, 1] (all targets are class 0)
+
+    # GT masks downsampled (nearest) to prediction resolution (matcher.py:117)
+    gt_masks = targets["gt_masks"]
+    gh, gw = gt_masks.shape[-2:]
+    ys = (jnp.arange(h) * (gh / h)).astype(jnp.int32)
+    xs = (jnp.arange(w) * (gw / w)).astype(jnp.int32)
+    tgt_small = gt_masks[:, :, ys][:, :, :, xs].astype(mask_logits.dtype)  # [B, NG, h, w]
+
+    src_flat = mask_logits.reshape(b, nq, h * w)
+    tgt_flat = tgt_small.reshape(b, tgt_small.shape[1], h * w)
+    cost_mask = jax.vmap(batch_sigmoid_focal_cost)(src_flat, tgt_flat)
+    cost_dice = jax.vmap(batch_dice_cost)(src_flat, tgt_flat)
+
+    out_center = outputs["pred_centers"]  # [B, NQ, 2]
+    tgt_center = targets["gt_centers"]  # [B, NG, 2]
+    cost_center = jnp.linalg.norm(out_center[:, :, None] - tgt_center[:, None], axis=-1)
+
+    out_param = outputs["pred_params"]
+    tgt_param = targets["gt_params"]
+    cost_param = jnp.sum(jnp.abs(out_param[:, :, None] - tgt_param[:, None]), axis=-1)
+
+    def _safe_norm(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.maximum(n, 1e-12)
+
+    out_n = _safe_norm(out_param)
+    tgt_n = _safe_norm(tgt_param)
+    cosv = jnp.clip(jnp.einsum("bqc,bgc->bqg", out_n, tgt_n), -0.999999, 0.999999)
+    cost_angle = jnp.rad2deg(jnp.arccos(cosv))
+
+    out_off = jnp.linalg.norm(out_param, axis=-1)
+    tgt_off = jnp.linalg.norm(tgt_param, axis=-1)
+    cost_offset = jnp.abs(out_off[:, :, None] - tgt_off[:, None])
+
+    c = (
+        weights["cost_mask"] * cost_mask
+        + weights["cost_class"] * cost_class
+        + weights["cost_dice"] * cost_dice
+        + weights["cost_center"] * cost_center
+        + weights["cost_param"] * cost_param
+        + weights["cost_param_offset"] * cost_offset
+        + weights["cost_param_normal_angle"] * cost_angle
+    )
+    return c
+
+
+def match_planes(outputs: Dict, targets: Dict, weights: Dict) -> jnp.ndarray:
+    """Hungarian matching -> match [B, NQ] (gt index or -1)."""
+    cost = compute_match_cost(outputs, targets, weights)
+    num_gt = jnp.sum(targets["gt_valid"].astype(jnp.int32), axis=-1)  # [B]
+    b, nq, ng = cost.shape
+    if ng < nq:
+        cost = jnp.pad(cost, ((0, 0), (0, 0), (0, nq - ng)), constant_values=0.0)
+    cost = jax.lax.stop_gradient(cost)
+    return hungarian_device(cost, num_gt)
+
+
+# ---------------------------------------------------------------------------
+# losses (criterion.py:75-245)
+# ---------------------------------------------------------------------------
+
+def detection_losses(
+    outputs: Dict,
+    targets: Dict,
+    match: jnp.ndarray,  # [B, NQ]
+    num_masks: jnp.ndarray,  # scalar: global mean GT count (already psum'd)
+    eos_coef: float = 0.1,
+    aux: bool = False,
+    center_on: bool = True,
+    param_on: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    losses = {}
+    logits = outputs["pred_logits"]  # [B, NQ, C+1]
+    b, nq, nc1 = logits.shape
+    matched = match >= 0  # [B, NQ]
+    tgt_idx = jnp.maximum(match, 0)  # [B, NQ]
+    matched_f = matched.astype(logits.dtype)
+    num_matched_total = jnp.maximum(jnp.sum(matched_f), 1.0)
+
+    # ---- labels: weighted CE with no-object weight (criterion.py:75-91)
+    target_classes = jnp.where(matched, 0, nc1 - 1)  # [B, NQ]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    class_w = jnp.where(matched, 1.0, eos_coef)
+    # torch weighted CE 'mean' divides by the sum of applied weights
+    losses["loss_ce"] = jnp.sum(nll * class_w) / jnp.sum(class_w)
+
+    # ---- masks: focal + dice on matched pairs (criterion.py:93-120)
+    gt_masks = targets["gt_masks"]  # [B, NG, H, W]
+    gh, gw = gt_masks.shape[-2:]
+    src = outputs["pred_mask_logits"]  # [B, NQ, h, w]
+    src_up = jax.image.resize(src, (b, nq, gh, gw), method="bilinear")
+    tgt = jnp.take_along_axis(
+        gt_masks, tgt_idx[:, :, None, None], axis=1
+    ).astype(src.dtype)  # [B, NQ, H, W]
+
+    prob = jax.nn.sigmoid(src_up)
+    ce = _bce_logits(src_up, tgt)
+    p_t = prob * tgt + (1 - prob) * (1 - tgt)
+    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
+    focal = alpha_t * ce * ((1 - p_t) ** 2)
+    focal_per = jnp.mean(focal, axis=(2, 3))  # mean over pixels
+    losses["loss_mask"] = jnp.sum(focal_per * matched_f) / num_masks
+
+    inter = jnp.sum(prob * tgt, axis=(2, 3))
+    denom = jnp.sum(prob, axis=(2, 3)) + jnp.sum(tgt, axis=(2, 3))
+    dice = 1 - (2 * inter + 1) / (denom + 1)
+    losses["loss_dice"] = jnp.sum(dice * matched_f) / num_masks
+
+    # ---- centers (criterion.py:122-153)
+    if center_on and "pred_centers" in outputs:
+        src_c = outputs["pred_centers"]  # [B, NQ, 2]
+        tgt_c = jnp.take_along_axis(targets["gt_centers"], tgt_idx[..., None], axis=1)
+        dist = safe_norm(tgt_c - src_c, axis=-1)
+        losses["loss_center_ins"] = jnp.sum(dist * matched_f) / num_matched_total
+        if not aux and "pixel_centers" in outputs:
+            pc = outputs["pixel_centers"]  # [B, h, w, 2]
+            pc = jax.image.resize(pc, (b, gh, gw, 2), method="bilinear")
+            gt_pc = targets["gt_pixel_centers"]  # [B, H, W, 2]
+            pd = safe_norm(jnp.abs(gt_pc - pc), axis=-1)
+            losses["loss_center_pixel"] = jnp.mean(pd)
+
+    # ---- params: L1 + cos (+ Q on the final level) (criterion.py:155-234)
+    if param_on and "pred_params" in outputs:
+        src_p = outputs["pred_params"]
+        tgt_p = jnp.take_along_axis(targets["gt_params"], tgt_idx[..., None], axis=1)
+        l1 = jnp.sum(jnp.abs(tgt_p - src_p), axis=-1)
+        losses["loss_param_l1"] = jnp.sum(l1 * matched_f) / num_matched_total
+
+        def _cos(a, b_):
+            na = safe_norm(a, axis=-1)
+            nb = safe_norm(b_, axis=-1)
+            return jnp.sum(a * b_, axis=-1) / jnp.maximum(na * nb, 1e-8)
+
+        cos = 1 - _cos(src_p, tgt_p)
+        losses["loss_param_cos"] = jnp.sum(cos * matched_f) / num_matched_total
+
+        if not aux:
+            losses["loss_q"] = _q_loss(src_p, tgt_p, tgt, matched_f, targets)
+
+    return losses
+
+
+def _q_loss(src_p, tgt_p, tgt_masks, matched_f, targets):
+    """Point-to-plane depth consistency (criterion.py:173-233).
+
+    src_p/tgt_p: [B, NQ, 3] matched params; tgt_masks: [B, NQ, H, W];
+    matched_f: [B, NQ]. Per image: valid_region = (gt err map < 0.2) & covered,
+    loss = mean over valid_region of sum_n |pred_n . X - 1| * mask_n.
+    """
+    depth = targets["depth"]  # [B, H, W]
+    kxy = targets["k_inv_dot_xy1"]  # [B, 3, H, W]
+    pts = kxy * depth[:, None]  # [B, 3, H, W]
+
+    def params_new(p):
+        off = safe_norm(p, axis=-1, keepdims=True)
+        nrm = p / jnp.maximum(off, 1e-12)
+        return nrm / jnp.maximum(off, 1e-12)
+
+    gt_new = params_new(tgt_p) * matched_f[..., None]
+    pr_new = params_new(src_p) * matched_f[..., None]
+    masks = tgt_masks * matched_f[..., None, None]
+
+    gt_dist = jnp.abs(jnp.einsum("bnc,bchw->bnhw", gt_new, pts) - 1.0) * masks
+    gt_err_map = jnp.sum(gt_dist, axis=1)  # [B, H, W]
+    covered = jnp.sum(masks, axis=1) > 0
+    valid_region = (gt_err_map < 0.2) & covered  # [B, H, W]
+
+    pr_dist = jnp.abs(jnp.einsum("bnc,bchw->bnhw", pr_new, pts) - 1.0) * masks
+    pr_err_map = jnp.sum(pr_dist, axis=1)
+
+    vr_f = valid_region.astype(pr_err_map.dtype)
+    per_img_sum = jnp.sum(pr_err_map * vr_f, axis=(1, 2))
+    per_img_cnt = jnp.sum(vr_f, axis=(1, 2))
+    has_masks = jnp.sum(masks, axis=(1, 2, 3)) >= 1
+    ok = has_masks & (per_img_cnt > 0)
+    per_img = jnp.where(ok, per_img_sum / jnp.maximum(per_img_cnt, 1.0), 0.0)
+    return jnp.mean(per_img)
+
+
+def depth_loss(outputs, targets):
+    """Masked L1 depth loss (criterion.py:236-245)."""
+    gt = targets["depth"]  # [B, H, W]
+    pred = outputs["pixel_depth"][..., 0]  # [B, h, w]
+    pred = jax.image.resize(pred, gt.shape, method="bilinear")
+    mask = (gt > 1e-4).astype(pred.dtype)
+    return jnp.sum(jnp.abs(pred - gt) * mask) / jnp.maximum(jnp.sum(mask), 1.0)

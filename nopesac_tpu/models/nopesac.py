@@ -1,0 +1,491 @@
+"""PlaneTR_NopeSAC meta-architecture (flax), fixed-shape TPU-first.
+
+Spec: modeling/meta_arch/siamese_planeTR.py:34-839. Differences by design:
+  * All paths operate on fixed shapes: NQ=50 plane slots per view with
+    validity masks instead of compacted variable-length lists; inference is
+    batched (the reference enforces bs=1, siamese_planeTR.py:340).
+  * Image normalisation happens in the input pipeline; this module takes
+    already-normalised NHWC float images.
+  * Device/host split: `inference` returns fixed-shape tensors (masks at full
+    resolution, validity, params, scores, camera dict); RLE encoding and
+    instance-dict assembly live in evaluation/postprocess.py on host.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.assignment import mutual_max_assignment
+from ..core.geometry import canonicalize_quat_sign, normalize
+from ..losses import camera_losses as CL
+from ..losses import criterion as CR
+from ..losses.matching import (
+    build_pred_corr_matrix,
+    intersect_with_valid,
+    matching_nll_loss,
+)
+from .camera_head import (
+    PlaneCameraHead,
+    build_geo_sequence,
+    build_gt_geo_sequence,
+    compute_sig_seq,
+    warp_geo_sequence,
+)
+from .matching_head import MatchingHead, geometric_distances
+from .plane_head import PlaneTRHead
+from .resnet import ResNet
+
+Dtype = Any
+
+
+class PlaneTRNopeSAC(nn.Module):
+    """Siamese plane detection + matching + NOPE-SAC pose estimation."""
+
+    num_queries: int = 50
+    embedding_on: bool = True
+    camera_on: bool = True
+    depth_on: bool = False
+    cam_rec_on: bool = True
+    cam_ref_on: bool = True
+    warp_plane_in_cam_ref_on: bool = True
+    sinkhorn_iterations: int = 200
+    offset_multiplier: float = 4.0
+    normal_multiplier: float = 8.0
+    plane_score_threshold: float = 0.6
+    mask_prob_threshold: float = 0.5
+    overlap_threshold: float = 0.6
+    matching_score_threshold: float = 0.2
+    inference_out_cam_type: str = "soft"
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    # ---- training switches & loss weights (config.py / train yamls) ----
+    loss_detection_on: bool = True
+    loss_camera_on: bool = True
+    loss_matching_on: bool = True
+    matcher_on: bool = True
+    rand_on: bool = True
+    rand_bs: int = 64
+    no_object_weight: float = 0.1
+    dice_weight: float = 1.0
+    mask_weight: float = 20.0
+    param_weight_l1: float = 0.25
+    param_weight_cos: float = 1.0
+    param_hm_weight_l1: float = 0.25
+    param_weight_q: float = 1.0
+    center_ins_weight: float = 0.5
+    param_weight_angle: float = 0.0028
+    param_weight_offset: float = 0.01
+    initial_cam_weight: float = 1.0
+    plane_cam_weight: float = 1.0
+    plane_cam_weight_predplane: float = 0.1
+
+    def setup(self):
+        self.backbone = ResNet(dtype=self.dtype)
+        self.plane_head = PlaneTRHead(
+            num_queries=self.num_queries,
+            depth_on=self.depth_on,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )
+        if self.embedding_on:
+            self.matching_head = MatchingHead(
+                offset_multiplier=self.offset_multiplier,
+                normal_multiplier=self.normal_multiplier,
+                sinkhorn_iterations=self.sinkhorn_iterations,
+                dtype=self.dtype,
+            )
+        if self.camera_on:
+            self.camera_head = PlaneCameraHead(
+                num_queries=self.num_queries,
+                cam_rec_on=self.cam_rec_on,
+                cam_ref_on=self.cam_ref_on,
+                warp_plane_in_cam_ref_on=self.warp_plane_in_cam_ref_on,
+                dtype=self.dtype,
+                axis_name=self.axis_name,
+            )
+
+    # ------------------------------------------------------------------
+    def detect(self, images, train: bool = False):
+        """Single-view backbone + plane head. images: [B, H, W, 3] normalised."""
+        feats = self.backbone(images)
+        outputs, query_feat = self.plane_head(feats, train=train)
+        return feats, outputs, query_feat
+
+    def __call__(self, images0, images1, train: bool = False):
+        """Joint raw forward over an image pair (used for compile checks)."""
+        feats0, out0, qf0 = self.detect(images0, train)
+        feats1, out1, qf1 = self.detect(images1, train)
+        result = {"view0": out0, "view1": out1}
+        if self.camera_on:
+            result["camera_init"] = self.camera_head.pixel_camera(feats0, feats1, train)
+        return result
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def _detection_branch(self, outputs, targets, num_masks):
+        """Hungarian match + (deep-supervised) detection losses for one view.
+
+        Returns (weighted_losses, final_level_match). Spec:
+        criterion.py:269-309 + weight application siamese_planeTR.py:329-334.
+        """
+        mw = {
+            "cost_class": 1.0,
+            "cost_mask": self.mask_weight,
+            "cost_dice": self.dice_weight,
+            "cost_center": self.center_ins_weight,
+            "cost_param": self.param_hm_weight_l1,
+            "cost_param_offset": self.param_weight_offset,
+            "cost_param_normal_angle": self.param_weight_angle,
+        }
+        weight_dict = {
+            "loss_ce": 1.0,
+            "loss_param_l1": self.param_weight_l1,
+            "loss_param_cos": self.param_weight_cos,
+            "loss_q": self.param_weight_q,
+            "loss_center_ins": self.center_ins_weight,
+            "loss_center_pixel": 1.0,
+            "loss_depth_pixel": 1.0,
+            "loss_mask": self.mask_weight,
+            "loss_dice": self.dice_weight,
+        }
+        match = CR.match_planes(outputs, targets, mw)
+        losses = {}
+        if self.loss_detection_on:
+            raw = CR.detection_losses(
+                outputs, targets, match, num_masks, eos_coef=self.no_object_weight)
+            if self.depth_on and "pixel_depth" in outputs:
+                raw["loss_depth_pixel"] = CR.depth_loss(outputs, targets)
+            for k, v in raw.items():
+                losses[k] = v * weight_dict[k]
+            for i, aux in enumerate(outputs["aux_outputs"]):
+                match_aux = CR.match_planes(aux, targets, mw)
+                raw_aux = CR.detection_losses(
+                    aux, targets, match_aux, num_masks,
+                    eos_coef=self.no_object_weight, aux=True)
+                for k, v in raw_aux.items():
+                    losses[f"{k}_{i}"] = v * weight_dict[k]
+        return losses, match
+
+    def train_forward(self, batch: Dict, rng: jax.Array):
+        """Full training forward: detection + matching + 5-branch camera loss
+        zoo. Spec: siamese_planeTR.py:208-299 + camera_head.py:140-344.
+
+        Returns a dict of scalar losses (already weighted). Sum them for the
+        total objective.
+        """
+        losses: Dict[str, jnp.ndarray] = {}
+        t0, t1 = batch["targets0"], batch["targets1"]
+
+        feats0, out0, qf0 = self.detect(batch["image0"], train=True)
+        feats1, out1, qf1 = self.detect(batch["image1"], train=True)
+
+        l0, match0 = self._detection_branch(out0, t0, jnp.maximum(jnp.sum(t0["gt_valid"].astype(jnp.float32)), 1.0))
+        l1, match1 = self._detection_branch(out1, t1, jnp.maximum(jnp.sum(t1["gt_valid"].astype(jnp.float32)), 1.0))
+        if self.loss_detection_on:
+            for k in l0:
+                losses[k] = (l0[k] + l1[k]) / 2.0
+
+        gt_pose = batch["gt_pose"]  # [B, 7], quat already sign-canonical
+        params0 = out0["pred_params"] if "pred_params" in out0 else None
+        params1 = out1["pred_params"] if "pred_params" in out1 else None
+
+        gt_corr = None
+        if self.embedding_on and self.matcher_on:
+            gt_corr = build_pred_corr_matrix(
+                match0, match1, batch["corr_idx1"], batch["corr_idx2"],
+                batch["corr_valid"], self.num_queries,
+            )
+            if self.loss_matching_on:
+                row_masks = match0 >= 0
+                col_masks = match1 >= 0
+                log_scores = self.matching_head(
+                    qf0, qf1, gt_pose, params0, params1,
+                    row_masks=row_masks, col_masks=col_masks,
+                )
+                gt_corr_m = intersect_with_valid(gt_corr, row_masks, col_masks)
+                losses["losses_emb_0"] = matching_nll_loss(log_scores, gt_corr_m)
+
+        if not (self.camera_on and self.loss_camera_on):
+            return losses
+
+        # ---- initial pose (PixelCameraHead) + its loss
+        init = self.camera_head.pixel_camera(feats0, feats1, train=True)
+        lt, lr = CL.camera_pose_loss(init["tran"], init["rot"], gt_pose)
+        losses["loss_tran_pixelReg"] = lt * self.initial_cam_weight
+        losses["loss_rot_pixelReg"] = lr * self.initial_cam_weight
+
+        # ---- AIM auto-encoding of the initial pose (camera_head.py:227-245)
+        if self.cam_rec_on:
+            rec_rot, rec_rot_feat, rot_in = self.camera_head.rot_rec(init["rot"])
+            losses["loss_rot_initCamRec"] = CL.rot_rec_loss(rot_in, rec_rot)
+            rec_tran, rec_tran_feat, tran_in = self.camera_head.trans_rec(init["tran"])
+            losses["loss_trans_initCamRec"] = CL.trans_rec_loss(tran_in, rec_tran)
+
+        # ---- AIM with random poses (camera_head.py:325-344)
+        if self.cam_rec_on and self.rand_on:
+            bs = gt_pose.shape[0]
+            repeat = max(self.rand_bs // bs, 1)
+            r1, r2 = jax.random.split(rng)
+            rand_rot = CL.rand_aim_rot(r1, bs * repeat)
+            pr_rot, _, rin = self.camera_head.rot_rec(rand_rot)
+            losses["loss_rot_randCamRecLBS_N1"] = CL.rot_rec_loss(rin, pr_rot)
+            rand_tr = CL.rand_aim_trans(r2, bs * repeat)
+            pr_tr, _, tin = self.camera_head.trans_rec(rand_tr)
+            losses["loss_trans_randCamRecLBS_N1"] = CL.trans_rec_loss(tin, pr_tr)
+
+        if not self.cam_ref_on:
+            return losses
+
+        # ---- GT-param geo sequence (camera_head.py:247-251, 1179-1333)
+        geo_gt, seq_valid_gt, num_gt = build_gt_geo_sequence(
+            t0["gt_params"], t1["gt_params"],
+            batch["corr_idx1"], batch["corr_idx2"], batch["corr_valid"],
+        )
+
+        def run_refine_branch(base_tran, base_rot, base_tran_feat, base_rot_feat,
+                              geo_local, seq_valid, num_m, suffix, weight):
+            """One refinement branch (forawrd_refineLoop, camera_head.py:346-398).
+            The base pose is detached for the geo warp / sig computation."""
+            dt_tran = jax.lax.stop_gradient(base_tran)
+            dt_rot = jax.lax.stop_gradient(base_rot)
+            geo_global = warp_geo_sequence(geo_local, dt_tran, dt_rot)
+            sig_seq = compute_sig_seq(geo_local, dt_tran, dt_rot)
+            ref = self.camera_head.refine(
+                base_tran_feat, base_rot_feat, base_tran, base_rot,
+                geo_local, seq_valid, sig_seq, geo_global, clamp_scores=True,
+            )
+            return CL.refine_losses(ref, gt_pose, seq_valid, num_m, suffix, weight)
+
+        # branch 1: initial pose + GT params
+        losses.update(run_refine_branch(
+            init["tran"], init["rot"], init["tran_feat"], init["rot_feat"],
+            geo_gt, seq_valid_gt, num_gt, "initCamRef", self.plane_cam_weight))
+        # branch 2: reconstructed pose + GT params
+        if self.cam_rec_on:
+            losses.update(run_refine_branch(
+                rec_tran, rec_rot, rec_tran_feat, rec_rot_feat,
+                geo_gt, seq_valid_gt, num_gt, "initRecCamRef", self.plane_cam_weight))
+
+        # branches 3-4: predicted plane params via the GT corr assignment
+        if gt_corr is not None and params0 is not None:
+            assign = gt_corr[:, :-1, :-1].astype(self.dtype)
+            geo_pred, seq_valid_pr, num_pr = build_geo_sequence(
+                params0, params1, assign, self.num_queries)
+            losses.update(run_refine_branch(
+                init["tran"], init["rot"], init["tran_feat"], init["rot_feat"],
+                geo_pred, seq_valid_pr, num_pr, "initCamRef_Aux",
+                self.plane_cam_weight_predplane))
+            if self.cam_rec_on:
+                losses.update(run_refine_branch(
+                    rec_tran, rec_rot, rec_tran_feat, rec_rot_feat,
+                    geo_pred, seq_valid_pr, num_pr, "initRecCamRef_Aux",
+                    self.plane_cam_weight_predplane))
+
+        return losses
+
+    # ------------------------------------------------------------------
+    # inference (fixed-shape device part)
+    # ------------------------------------------------------------------
+    def select_planes(self, outputs: Dict[str, jnp.ndarray], out_h: int, out_w: int):
+        """Device half of _postprocess_planeHeadMask (siamese_planeTR.py:625-803).
+
+        Fixed-shape: returns per-query validity instead of compacting.
+        Returns dict with:
+          valid [B, NQ] bool, score [B, NQ], params [B, NQ, 3],
+          masks [B, NQ, H, W] bool (argmax segmentation + prob gate),
+          centers [B, NQ, 2], seg_prob [B, NQ, H, W] (score-scaled probs).
+        """
+        logits = outputs["pred_logits"]  # [B, NQ, 2]
+        params = outputs["pred_params"]  # [B, NQ, 3]
+        mask_logits = outputs["pred_mask_logits"]  # [B, NQ, h, w]
+        b, nq, _ = logits.shape
+
+        prob = jax.nn.softmax(logits, axis=-1)
+        score = jnp.max(prob, axis=-1)  # [B, NQ]
+        labels = jnp.argmax(prob, axis=-1)
+        label_mask = (labels == 0) & (score > self.plane_score_threshold)
+
+        # zero-detection fallback: keep the most plane-like query
+        # (siamese_planeTR.py:656-661)
+        any_valid = jnp.any(label_mask, axis=1, keepdims=True)  # [B, 1]
+        fallback = jax.nn.one_hot(jnp.argmax(prob[..., 0], axis=1), nq, dtype=bool)
+        valid = jnp.where(any_valid, label_mask, fallback)
+        score = jnp.where(valid & ~label_mask, prob[..., 0], score)
+
+        # upscale mask probabilities to the output size
+        mask_prob = jax.nn.sigmoid(mask_logits)
+        mask_prob = jax.image.resize(mask_prob, (b, nq, out_h, out_w), method="bilinear")
+        scaled_prob = score[:, :, None, None] * mask_prob  # [B, NQ, H, W]
+
+        # argmax segmentation over valid queries only
+        neg = jnp.asarray(-1.0, scaled_prob.dtype)
+        gated = jnp.where(valid[:, :, None, None], scaled_prob, neg)
+        seg_ids = jnp.argmax(gated, axis=1)  # [B, H, W]
+        q_ids = jnp.arange(nq)[None, :, None, None]
+        masks = (seg_ids[:, None] == q_ids) & (scaled_prob > self.mask_prob_threshold)
+        masks = masks & valid[:, :, None, None]
+
+        # overlap filter (siamese_planeTR.py:684-699)
+        mask_area = jnp.sum(masks, axis=(2, 3))  # [B, NQ]
+        original_area = jnp.sum(mask_prob >= self.mask_prob_threshold, axis=(2, 3))
+        overlap = mask_area / jnp.maximum(original_area, 1)
+        keep = (mask_area >= 1) & (original_area >= 1) & (overlap >= self.overlap_threshold)
+        keep = keep & valid
+
+        # if nothing survives, keep the max-overlap valid query
+        # (siamese_planeTR.py:741-788); ties broken by first index like the
+        # reference's strict `>` update rule.
+        ov_for_max = jnp.where(valid & (mask_area >= 1) & (original_area >= 1), overlap, -1.0)
+        fallback2 = jax.nn.one_hot(jnp.argmax(ov_for_max, axis=1), nq, dtype=bool)
+        any_keep = jnp.any(keep, axis=1, keepdims=True)
+        # the fallback keeps the raw argmax-seg mask without the prob gate
+        masks_nogate = (seg_ids[:, None] == q_ids) & valid[:, :, None, None]
+        final_valid = jnp.where(any_keep, keep, fallback2 & valid)
+        masks = jnp.where(any_keep[:, :, None, None], masks, masks_nogate)
+        masks = masks & final_valid[:, :, None, None]
+
+        # plane centers from normalised xy over the final mask
+        xs = (jnp.arange(out_w, dtype=self.dtype) / out_w)[None, None, None, :]
+        ys = (jnp.arange(out_h, dtype=self.dtype) / out_h)[None, None, :, None]
+        mf = masks.astype(self.dtype)
+        area = jnp.sum(mf, axis=(2, 3))
+        cx = jnp.sum(mf * xs, axis=(2, 3)) / (area + 1e-10)
+        cy = jnp.sum(mf * ys, axis=(2, 3)) / (area + 1e-10)
+        centers = jnp.stack([cx, cy], axis=-1)
+
+        return {
+            "valid": final_valid,
+            "score": score,
+            "params": params,
+            "masks": masks,
+            "centers": centers,
+        }
+
+    def inference(self, images0, images1, out_h: int = 480, out_w: int = 640):
+        """Full inference: detection + matching + NOPE-SAC pose.
+
+        Spec: siamese_planeTR.py:338-450 + camera_head.py:400-640
+        (inference_Joint), fixed-shape and batched.
+        """
+        feats0, out0, qf0 = self.detect(images0, train=False)
+        feats1, out1, qf1 = self.detect(images1, train=False)
+
+        sel0 = self.select_planes(out0, out_h, out_w)
+        sel1 = self.select_planes(out1, out_h, out_w)
+
+        result = {"view0": sel0, "view1": sel1}
+        if self.depth_on:
+            result["depth0"] = out0.get("pixel_depth")
+            result["depth1"] = out1.get("pixel_depth")
+        if not self.camera_on:
+            return result
+
+        cameras = {}
+        b = images0.shape[0]
+        cameras["camera_zero"] = {
+            "tran": jnp.zeros((b, 3), self.dtype),
+            "rot": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], self.dtype), (b, 1)),
+        }
+
+        # initial pose (sign-canonicalised, camera_head.py:436-437)
+        init = self.camera_head.pixel_camera(feats0, feats1, train=False)
+        init_rot = canonicalize_quat_sign(init["rot"])
+        init_tran = init["tran"]
+        cameras["camera_init"] = {"tran": init_tran, "rot": init_rot}
+
+        if self.cam_rec_on:
+            rec_rot, rec_rot_feat, _ = self.camera_head.rot_rec(init_rot)
+            rec_tran, rec_tran_feat, _ = self.camera_head.trans_rec(init_tran)
+            cameras["camera_initRec"] = {"tran": rec_tran, "rot": rec_rot}
+            base_rot, base_rot_feat = rec_rot, rec_rot_feat
+            base_tran, base_tran_feat = rec_tran, rec_tran_feat
+        else:
+            base_rot, base_rot_feat = init_rot, init["rot_feat"]
+            base_tran, base_tran_feat = init_tran, init["tran_feat"]
+
+        if not self.embedding_on:
+            cameras["camera"] = cameras["camera_init"]
+            result["cameras"] = cameras
+            return result
+
+        # ---- plane matching with the reconstructed pose as geometric prior
+        matcher_cam = jnp.concatenate([base_tran, base_rot], axis=-1)  # [B, 7]
+        params0, params1 = sel0["params"], sel1["params"]
+        log_scores = self.matching_head(
+            qf0, qf1, matcher_cam, params0, params1,
+            row_masks=sel0["valid"], col_masks=sel1["valid"],
+        )
+        assignment = mutual_max_assignment(log_scores, self.matching_score_threshold)
+        result["log_scores"] = log_scores
+        result["assignment_beforeRef"] = assignment
+
+        if not self.cam_ref_on:
+            cameras["camera"] = cameras["camera_init"]
+            result["cameras"] = cameras
+            result["assignment"] = assignment
+            return result
+
+        # ---- NOPE-SAC refinement
+        geo_local, seq_valid, num_matches = build_geo_sequence(
+            params0, params1, assignment, self.num_queries)
+        geo_global = warp_geo_sequence(geo_local, base_tran, base_rot)
+        sig_seq = compute_sig_seq(geo_local, base_tran, base_rot)
+
+        ref = self.camera_head.refine(
+            base_tran_feat, base_rot_feat, base_tran, base_rot,
+            geo_local, seq_valid, sig_seq, geo_global, clamp_scores=False,
+        )
+
+        # m<=1 fallbacks (camera_head.py:964-969, 1052-1075):
+        #   m == 0 -> initial pose;  m == 1 -> avg(excl) pose
+        m = num_matches[:, None]
+        rot_avg = jnp.where(m > 1, ref["rot_avg_incl"], ref["rot_avg_excl"])
+        tran_avg = jnp.where(m > 1, ref["tran_avg_incl"], ref["tran_avg_excl"])
+        rot_avg = jnp.where(m == 0, base_rot, rot_avg)
+        tran_avg = jnp.where(m == 0, base_tran, tran_avg)
+
+        if self.inference_out_cam_type == "avg-all":
+            rot_f, tran_f = rot_avg, tran_avg
+        elif self.inference_out_cam_type == "soft":
+            rot_f, tran_f = ref["rot_soft"], ref["tran_soft"]
+        elif self.inference_out_cam_type == "max-score":
+            ridx = jnp.argmax(jnp.where(ref["hyp_valid"], ref["score_rot"], -jnp.inf), axis=1)
+            tidx = jnp.argmax(jnp.where(ref["hyp_valid"], ref["score_trans"], -jnp.inf), axis=1)
+            rot_f = jnp.take_along_axis(ref["rots_all"], ridx[:, None, None], 1)[:, 0]
+            tran_f = jnp.take_along_axis(ref["trans_all"], tidx[:, None, None], 1)[:, 0]
+        elif self.inference_out_cam_type == "min-cost":
+            ridx = jnp.argmin(jnp.where(ref["hyp_valid"], ref["normal_l2_sum"], jnp.inf), axis=1)
+            tidx = jnp.argmin(jnp.where(ref["hyp_valid"], ref["l2_dist_sum"], jnp.inf), axis=1)
+            rot_f = jnp.take_along_axis(ref["rots_all"], ridx[:, None, None], 1)[:, 0]
+            tran_f = jnp.take_along_axis(ref["trans_all"], tidx[:, None, None], 1)[:, 0]
+        else:
+            raise ValueError(self.inference_out_cam_type)
+
+        rot_f = jnp.where(m <= 1, rot_avg, rot_f)
+        tran_f = jnp.where(m <= 1, tran_avg, tran_f)
+        cameras["camera_avgRef0"] = {"tran": tran_avg, "rot": rot_avg}
+        cameras["camera_softRef0"] = {"tran": tran_f, "rot": rot_f}
+
+        # sign flip for the assignment update (camera_head.py:600-601)
+        flip = (rot_f[:, 0:1] < 0) if self.cam_rec_on else jnp.zeros_like(rot_f[:, 0:1], bool)
+        rot_for_gate = jnp.where(flip, -rot_f, rot_f)
+
+        # re-gate the assignment by pose consistency (camera_head.py:605-629)
+        normal_dist, offset_dist = geometric_distances(params0, params1, tran_f, rot_for_gate)
+        gate = (normal_dist < 45.0) & (jnp.clip(offset_dist, 1e-4, 10.0) < 1.0)
+        assignment = assignment * gate.astype(assignment.dtype)
+        result["assignment"] = assignment
+
+        cameras["camera"] = {"tran": tran_f, "rot": rot_f}
+        result["cameras"] = cameras
+        result["camera_onePP"] = {
+            "tran": ref["trans_all"], "rot": ref["rots_all"], "hyp_valid": ref["hyp_valid"],
+            "score_rot": ref["score_rot"], "score_trans": ref["score_trans"],
+        }
+        result["num_matches"] = num_matches
+        return result

@@ -1,0 +1,135 @@
+"""PlaneTR detection head: DETR-style plane detector (flax, NHWC).
+
+Spec: modeling/planeTR_net/planeTR_head.py:24-252.
+  * sine pos-emb on res5 tokens (15x20 = 300 tokens)
+  * 1x1 input projection 2048 -> 256
+  * 6-layer post-norm encoder, 50 learned queries, 6-layer pre-norm decoder
+    (keeps the last 3 intermediate states for deep supervision)
+  * `top_down` FPN pixel decoder (laterals res2..res5 + encoder memory inject)
+  * mask logits = einsum(plane_embedding, pixel_embedding)
+  * plane/no-plane classifier, plane-param MLP, plane-center MLP + pixel maps
+
+The whole head is one jittable function of the backbone feature dict; mask
+einsum `lbqc,bhwc->lbqhw` maps straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import MLP, ConvBN, sine_position_embedding, upsample_bilinear, xavier_uniform
+from .transformer import Decoder, Encoder
+
+Dtype = Any
+
+
+class TopDown(nn.Module):
+    """FPN-ish pixel decoder with encoder-memory injection (planeTR_head.py:218-252)."""
+
+    channel: int = 256
+    m_dim: int = 256
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, c1, c2, c3, c4, memory, train: bool = False):
+        cbr = lambda name: ConvBN(self.channel, kernel_size=1, dtype=self.dtype,
+                                  axis_name=self.axis_name, name=name)
+        p4 = cbr("c4_conv")(c4, train) + cbr("m4_conv")(memory, train)
+        up = lambda x: upsample_bilinear(x, x.shape[1] * 2, x.shape[2] * 2)
+        p3 = cbr("up_conv3")(up(p4), train) + cbr("c3_conv")(c3, train)
+        p2 = cbr("up_conv2")(up(p3), train) + cbr("c2_conv")(c2, train)
+        p1 = cbr("up_conv1")(up(p2), train) + cbr("c1_conv")(c1, train)
+        return p1
+
+
+class PlaneTRHead(nn.Module):
+    """Plane detection head producing class/mask/param/center predictions."""
+
+    num_queries: int = 50
+    hidden_dim: int = 256
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    num_classes: int = 1
+    mask_dim: int = 256
+    channel: int = 256
+    param_on: bool = True
+    center_on: bool = True
+    depth_on: bool = False
+    num_aux: int = 3  # decoder intermediates kept (hs[-3:], planeTR_head.py:140)
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False):
+        c1, c2, c3, c4 = (features["res2"], features["res3"], features["res4"], features["res5"])
+        b, hc, wc, _ = c4.shape
+
+        pos = sine_position_embedding(hc, wc, self.hidden_dim // 2, dtype=self.dtype)
+        pos = jnp.broadcast_to(pos[None], (b, hc * wc, self.hidden_dim))
+
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="input_proj")(c4)
+        src = src.reshape(b, hc * wc, self.hidden_dim)
+
+        memory = Encoder(self.hidden_dim, self.nheads, self.enc_layers, dim_feedforward=1024,
+                         dtype=self.dtype, name="context_sa")(src, pos, deterministic=not train)
+
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0),
+                                 (self.num_queries, self.hidden_dim), jnp.float32)
+        query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
+                                     (b, self.num_queries, self.hidden_dim))
+        tgt = jnp.zeros_like(query_pos)
+        hs = Decoder(self.hidden_dim, self.nheads, self.dec_layers, dim_feedforward=1024,
+                     dtype=self.dtype, name="decoder")(tgt, memory, pos, query_pos,
+                                                       deterministic=not train)
+        hs = hs[-self.num_aux:]  # [L, B, Q, C]
+
+        memory_map = memory.reshape(b, hc, wc, self.hidden_dim)
+        p_context = TopDown(self.channel, self.hidden_dim, dtype=self.dtype,
+                            axis_name=self.axis_name, name="top_down")(
+            c1, c2, c3, c4, memory_map, train)
+
+        plane_emb = MLP(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
+                        name="plane_embedding")(hs)  # [L, B, Q, C]
+        pixel_emb = nn.Conv(self.mask_dim, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+                            name="pixel_embedding")(p_context)  # [B, H, W, C]
+        mask_logits = jnp.einsum("lbqc,bhwc->lbqhw", plane_emb, pixel_emb)
+
+        plane_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                                kernel_init=xavier_uniform, name="plane_prob")(hs)
+
+        out = {
+            "pred_logits": plane_logits[-1],
+            "pred_mask_logits": mask_logits[-1],
+        }
+        aux = [{"pred_logits": plane_logits[i], "pred_mask_logits": mask_logits[i]}
+               for i in range(self.num_aux - 1)]
+
+        if self.param_on:
+            plane_param = MLP(self.hidden_dim, 3, 3, dtype=self.dtype, name="plane_param")(hs)
+            out["pred_params"] = plane_param[-1]
+            for i, a in enumerate(aux):
+                a["pred_params"] = plane_param[i]
+        if self.center_on:
+            plane_center = nn.sigmoid(
+                MLP(self.hidden_dim, 2, 3, dtype=self.dtype, name="plane_center")(hs))
+            pixel_center = nn.sigmoid(
+                nn.Conv(2, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+                        name="pixel_plane_center")(p_context))  # [B, H, W, 2]
+            out["pred_centers"] = plane_center[-1]
+            out["pixel_centers"] = pixel_center
+            for i, a in enumerate(aux):
+                a["pred_centers"] = plane_center[i]
+        if self.depth_on:
+            p_depth = TopDown(self.channel, self.hidden_dim, dtype=self.dtype,
+                              axis_name=self.axis_name, name="top_down_depth")(
+                c1, c2, c3, c4, memory_map, train)
+            out["pixel_depth"] = nn.Conv(1, (1, 1), dtype=self.dtype,
+                                         kernel_init=xavier_uniform, name="depth")(p_depth)
+
+        out["aux_outputs"] = aux
+        return out, hs[-1]

@@ -1,0 +1,218 @@
+"""Transformer primitives: DETR encoder/decoder + LoFTR-style GNN (flax).
+
+Specs:
+  * DETR layers: modeling/transformer/transformer.py (pos embeddings added to
+    q/k only, post-norm encoder, pre-norm decoder with intermediate returns).
+  * GNN: modeling/transformer/gnn.py (LoFTR LocalFeatureTransformer:
+    bias-free projections, FFN on [x, message] concat, masked full attention).
+
+Everything is batched [B, L, C]; attention is a single fused einsum chain
+that XLA maps onto the MXU. Sequence lengths here are tiny (300 tokens,
+50 queries) so attention is compute-bound on projections, not memory.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import xavier_uniform
+
+Dtype = Any
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v inputs; mirrors torch.nn.MultiheadAttention."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        dh = self.d_model // self.nhead
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+
+        def proj(x, name):
+            x = nn.Dense(self.d_model, use_bias=self.use_bias, dtype=self.dtype,
+                         kernel_init=xavier_uniform, name=name)(x)
+            return x.reshape(b, -1, self.nhead, dh)
+
+        qh = proj(q, "q_proj")
+        kh = proj(k, "k_proj")
+        vh = proj(v, "v_proj")
+
+        logits = jnp.einsum("blhd,bshd->bhls", qh, kh) / jnp.sqrt(dh).astype(self.dtype)
+        if key_mask is not None:
+            # key_mask: [B, S] True = keep
+            logits = jnp.where(key_mask[:, None, None, :], logits, jnp.asarray(-1e9, self.dtype))
+        attn = nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhls,bshd->blhd", attn, vh).reshape(b, lq, self.d_model)
+        return nn.Dense(self.d_model, use_bias=self.use_bias, dtype=self.dtype,
+                        kernel_init=xavier_uniform, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm DETR encoder layer (transformer.py:155-199, normalize_before=False)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, deterministic: bool = True):
+        qk = src + pos
+        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+                                  name="self_attn")(qk, qk, src, deterministic=deterministic)
+        src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="linear1")(src)
+        ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="linear2")(ff)
+        src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+
+
+class Encoder(nn.Module):
+    """Stack of post-norm encoder layers + final LayerNorm (planeTR_head.py:79-82)."""
+
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, deterministic: bool = True):
+        for i in range(self.num_layers):
+            src = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                               dtype=self.dtype, name=f"layer{i}")(src, pos, deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(src)
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm DETR decoder layer (transformer.py:293-322, normalize_before=True)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
+        t2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        qk = t2 + query_pos
+        sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+                                name="self_attn")(qk, qk, t2, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        t2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+                                name="cross_attn")(t2 + query_pos, memory + pos, memory,
+                                                   deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        t2 = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="linear1")(t2)
+        ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="linear2")(ff)
+        return tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+
+
+class Decoder(nn.Module):
+    """Pre-norm decoder returning per-layer normed intermediates
+    [num_layers, B, Q, C] (transformer.py:106-152, return_intermediate=True)."""
+
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        inters = []
+        out = tgt
+        for i in range(self.num_layers):
+            out = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                               dtype=self.dtype, name=f"layer{i}")(out, memory, pos, query_pos,
+                                                                   deterministic)
+            inters.append(norm(out))
+        return jnp.stack(inters, axis=0)
+
+
+class GNNLayer(nn.Module):
+    """LoFTR encoder layer: masked full attention + FFN on [x, message]
+    (gnn.py:46-96). All projections bias-free."""
+
+    d_model: int
+    nhead: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, source, x_mask=None, source_mask=None):
+        b, l, c = x.shape
+        dh = self.d_model // self.nhead
+
+        def proj(v, name):
+            v = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                         kernel_init=xavier_uniform, name=name)(v)
+            return v.reshape(b, -1, self.nhead, dh)
+
+        q = proj(x, "q_proj")
+        k = proj(source, "k_proj")
+        v = proj(source, "v_proj")
+
+        qk = jnp.einsum("blhd,bshd->blsh", q, k)
+        if x_mask is not None and source_mask is not None:
+            keep = x_mask[:, :, None, None] & source_mask[:, None, :, None]
+            qk = jnp.where(keep, qk, jnp.asarray(-1e12, qk.dtype))
+        attn = nn.softmax(qk / jnp.sqrt(dh).astype(qk.dtype), axis=2)
+        msg = jnp.einsum("blsh,bshd->blhd", attn, v).reshape(b, l, self.d_model)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                       kernel_init=xavier_uniform, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+
+        msg = jnp.concatenate([x, msg], axis=-1)
+        msg = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype,
+                       kernel_init=xavier_uniform, name="mlp1")(msg)
+        msg = nn.relu(msg)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                       kernel_init=xavier_uniform, name="mlp2")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(msg)
+        return x + msg
+
+
+class LocalFeatureGNN(nn.Module):
+    """Alternating self/cross attention over two plane sets (gnn.py:98-137)."""
+
+    d_model: int = 256
+    nhead: int = 8
+    num_pairs: int = 9
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat0, feat1, mask0=None, mask1=None):
+        for i in range(self.num_pairs):
+            self_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"self{i}")
+            feat0 = self_layer(feat0, feat0, mask0, mask0)
+            feat1 = self_layer(feat1, feat1, mask1, mask1)
+            cross_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"cross{i}")
+            # NOTE: sequential update (feat1's cross sees the UPDATED feat0),
+            # matching gnn.py:132-134 exactly.
+            feat0 = cross_layer(feat0, feat1, mask0, mask1)
+            feat1 = cross_layer(feat1, feat0, mask1, mask0)
+        return feat0, feat1

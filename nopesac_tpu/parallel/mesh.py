@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers (data parallelism over ICI).
+
+The reference's only parallelism is DDP via torch.distributed/NCCL
+(SURVEY.md section 2.2). TPU-native equivalent: a 1-D `data` mesh with the
+batch sharded over it; gradient all-reduce is inserted by XLA under jit with
+sharding constraints (riding ICI), replacing the NCCL ring.
+
+Multi-host: call `initialize_distributed()` first (jax.distributed), then the
+mesh spans all processes' devices.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize wrapper (no-op for single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data mesh axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,214 @@
+"""COCO-compatible RLE mask codec + IoU (numpy reference implementation).
+
+Replaces the pycocotools C extension (`pycocotools._mask`), which the
+reference uses for mask encode/decode/IoU/bbox (siamese_planeTR.py:703-704,
+mp3d_evaluation.py:565, eval.py:653). The byte format is the standard COCO
+compressed RLE: column-major (Fortran order) run lengths, LEB128-style
+base-6-bit ascii with sign-folded deltas from the second count on.
+
+A C++ implementation (nopesac_tpu/csrc/rle.cc) is used when available; this
+file is the pure-python fallback and the golden reference for its tests.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+
+RLE = Dict[str, Union[Sequence[int], bytes, str]]
+
+try:  # optional native codec
+    from . import _native  # type: ignore
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover
+    _native = None
+    _HAVE_NATIVE = False
+
+
+# ---------------------------------------------------------------------------
+# core run-length <-> string
+# ---------------------------------------------------------------------------
+
+def _counts_to_string(counts: np.ndarray) -> bytes:
+    """COCO LEB128-variant: 6-bit groups, bit 5 = continuation, counts[i>=2]
+    stored as delta from counts[i-2], zigzag via x<0 handling."""
+    out = bytearray()
+    cnts = counts.astype(np.int64)
+    for i in range(len(cnts)):
+        x = int(cnts[i])
+        if i > 2:  # NOTE: deltas start at index 3, like the COCO C codec
+            x -= int(cnts[i - 2])
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            if c & 0x10:
+                more = x != -1
+            else:
+                more = x != 0
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return bytes(out)
+
+
+def _string_to_counts(s: bytes) -> np.ndarray:
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    counts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k + 5)
+            k += 1
+        if len(counts) > 2:  # deltas start at index 3 (COCO C codec)
+            x += counts[len(counts) - 2]
+        counts.append(x)
+    return np.asarray(counts, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# mask <-> rle
+# ---------------------------------------------------------------------------
+
+def encode(mask: np.ndarray) -> RLE:
+    """Binary mask [H, W] (any dtype) -> compressed RLE dict
+    {"size": [H, W], "counts": bytes}. Column-major like pycocotools."""
+    h, w = mask.shape
+    if _HAVE_NATIVE:
+        counts_str = _native.encode(np.ascontiguousarray(mask.T.reshape(-1).astype(np.uint8)), h, w)
+        return {"size": [int(h), int(w)], "counts": counts_str}
+    flat = mask.T.reshape(-1).astype(bool)  # Fortran order
+    # run lengths, starting with the count of leading zeros
+    if flat.size == 0:
+        return {"size": [int(h), int(w)], "counts": _counts_to_string(np.asarray([0]))}
+    change = np.nonzero(np.diff(flat))[0] + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    runs = np.diff(bounds)
+    if flat[0]:  # must start with a zero-run
+        runs = np.concatenate([[0], runs])
+    return {"size": [int(h), int(w)], "counts": _counts_to_string(runs)}
+
+
+def decode(rle: RLE) -> np.ndarray:
+    """Compressed (or uncompressed-list) RLE -> uint8 mask [H, W]."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        if _HAVE_NATIVE and isinstance(counts, (bytes, str)):
+            c = counts.encode("ascii") if isinstance(counts, str) else counts
+            flat = _native.decode(c, h, w)
+            return flat.reshape(w, h).T
+        runs = _string_to_counts(counts)
+    else:
+        runs = np.asarray(list(counts), dtype=np.int64)
+    vals = np.zeros(len(runs), dtype=np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, runs)
+    if flat.size < h * w:
+        flat = np.concatenate([flat, np.zeros(h * w - flat.size, np.uint8)])
+    return flat[: h * w].reshape(w, h).T
+
+
+def _to_runs(rle: RLE) -> np.ndarray:
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        return _string_to_counts(counts)
+    return np.asarray(list(counts), dtype=np.int64)
+
+
+def area(rle: RLE) -> int:
+    runs = _to_runs(rle)
+    return int(runs[1::2].sum())
+
+
+def to_bbox(rle: RLE) -> np.ndarray:
+    """RLE -> [x, y, w, h] bbox, matching pycocotools toBbox."""
+    h, w = rle["size"]
+    runs = _to_runs(rle)
+    if runs[1::2].sum() == 0:
+        return np.zeros(4)
+    ends = np.cumsum(runs)
+    starts = ends - runs
+    on_s = starts[1::2]
+    on_e = ends[1::2] - 1
+    cols_s = on_s // h
+    cols_e = on_e // h
+    rows_all_s = on_s % h
+    rows_all_e = on_e % h
+    x0, x1 = int(cols_s.min()), int(cols_e.max())
+    # rows: if a run spans multiple columns it covers all rows
+    spans = cols_e > cols_s
+    if spans.any():
+        y0, y1 = 0, h - 1
+    else:
+        y0, y1 = int(rows_all_s.min()), int(rows_all_e.max())
+    return np.asarray([x0, y0, x1 - x0 + 1, y1 - y0 + 1], dtype=np.float64)
+
+
+def iou(dt: List[RLE], gt: List[RLE], iscrowd=None) -> np.ndarray:
+    """Pairwise mask IoU matrix [len(dt), len(gt)] (pycocotools.mask.iou)."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    if _HAVE_NATIVE:
+        return _native_iou(dt, gt, iscrowd)
+    out = np.zeros((len(dt), len(gt)))
+    dt_m = [decode(d).astype(bool) for d in dt]
+    gt_m = [decode(g).astype(bool) for g in gt]
+    dt_a = [m.sum() for m in dt_m]
+    gt_a = [m.sum() for m in gt_m]
+    for i, dm in enumerate(dt_m):
+        for j, gm in enumerate(gt_m):
+            inter = np.logical_and(dm, gm).sum()
+            crowd = bool(iscrowd[j]) if iscrowd is not None else False
+            denom = dt_a[i] if crowd else dt_a[i] + gt_a[j] - inter
+            out[i, j] = inter / denom if denom > 0 else 0.0
+    return out
+
+
+def _native_iou(dt, gt, iscrowd):
+    dts = [d["counts"] if isinstance(d["counts"], bytes) else str(d["counts"]).encode() for d in dt]
+    gts = [g["counts"] if isinstance(g["counts"], bytes) else str(g["counts"]).encode() for g in gt]
+    h, w = dt[0]["size"]
+    crowd = np.zeros(len(gt), np.uint8) if iscrowd is None else np.asarray(iscrowd, np.uint8)
+    return _native.iou(dts, gts, h, w, crowd)
+
+
+def merge(rles: List[RLE], intersect: bool = False) -> RLE:
+    """Union (or intersection) of masks, like pycocotools merge."""
+    m = decode(rles[0]).astype(bool)
+    for r in rles[1:]:
+        other = decode(r).astype(bool)
+        m = m & other if intersect else m | other
+    return encode(m)
+
+
+def poly_to_mask(polys: List[Sequence[float]], h: int, w: int) -> np.ndarray:
+    """Polygon(s) [x0,y0,x1,y1,...] -> binary mask via scanline fill
+    (pycocotools frPoly equivalent, PIL-backed)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (w, h), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polys:
+        pts = [(float(poly[i]), float(poly[i + 1])) for i in range(0, len(poly), 2)]
+        if len(pts) >= 3:
+            draw.polygon(pts, outline=1, fill=1)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def seg_to_mask(seg, h: int, w: int) -> np.ndarray:
+    """Any COCO segmentation (polygon list / RLE dict) -> uint8 mask."""
+    if isinstance(seg, dict):
+        return decode(seg)
+    return poly_to_mask(seg, h, w)

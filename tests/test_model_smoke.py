@@ -1,0 +1,143 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nopesac_tpu.models.nopesac import PlaneTRNopeSAC
+
+H, W = 192, 256  # small but stride-32 divisible
+NQ = 50
+B = 1
+
+
+def make_batch(rng, b=B, h=H, w=W, ngt=4, ncorr=2):
+    def targets():
+        gt_valid = np.zeros((b, NQ), bool)
+        gt_valid[:, :ngt] = True
+        gt_masks = np.zeros((b, NQ, h, w), np.float32)
+        for g in range(ngt):
+            gt_masks[:, g, g * 10:(g + 1) * 10, g * 12:(g + 1) * 12] = 1.0
+        gt_params = rng.normal(size=(b, NQ, 3)).astype(np.float32) * gt_valid[..., None]
+        gt_centers = rng.uniform(size=(b, NQ, 2)).astype(np.float32) * gt_valid[..., None]
+        gt_pixel_centers = rng.uniform(size=(b, h, w, 2)).astype(np.float32)
+        depth = rng.uniform(1.0, 5.0, size=(b, h, w)).astype(np.float32)
+        kxy = rng.normal(size=(b, 3, h, w)).astype(np.float32)
+        return {
+            "gt_valid": jnp.asarray(gt_valid),
+            "gt_masks": jnp.asarray(gt_masks),
+            "gt_params": jnp.asarray(gt_params),
+            "gt_centers": jnp.asarray(gt_centers),
+            "gt_pixel_centers": jnp.asarray(gt_pixel_centers),
+            "depth": jnp.asarray(depth),
+            "k_inv_dot_xy1": jnp.asarray(kxy),
+        }
+
+    corr_idx1 = np.zeros((b, NQ), np.int32)
+    corr_idx2 = np.zeros((b, NQ), np.int32)
+    corr_valid = np.zeros((b, NQ), bool)
+    for c in range(ncorr):
+        corr_idx1[:, c] = c
+        corr_idx2[:, c] = c
+        corr_valid[:, c] = True
+
+    q = np.array([0.9, 0.1, 0.2, 0.05])
+    q = q / np.linalg.norm(q)
+    gt_pose = np.concatenate([np.array([0.5, 0.1, -0.2]), q]).astype(np.float32)
+
+    return {
+        "image0": jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32)),
+        "image1": jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32)),
+        "targets0": targets(),
+        "targets1": targets(),
+        "gt_pose": jnp.asarray(np.tile(gt_pose, (b, 1))),
+        "corr_idx1": jnp.asarray(corr_idx1),
+        "corr_idx2": jnp.asarray(corr_idx2),
+        "corr_valid": jnp.asarray(corr_valid),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = PlaneTRNopeSAC(sinkhorn_iterations=10)  # fewer iters for test speed
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, jax.random.PRNGKey(2), method=model.train_forward,
+    )
+    return model, variables, batch
+
+
+class TestTrainForward:
+    def test_losses_finite_and_complete(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        losses, _ = model.apply(
+            variables, batch, jax.random.PRNGKey(3),
+            method=model.train_forward,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(4)},
+        )
+        # detection losses (final + 2 aux levels)
+        for k in ["loss_ce", "loss_mask", "loss_dice", "loss_center_ins",
+                  "loss_center_pixel", "loss_param_l1", "loss_param_cos", "loss_q",
+                  "loss_ce_0", "loss_ce_1"]:
+            assert k in losses, k
+        # matching + camera losses
+        for k in ["losses_emb_0", "loss_tran_pixelReg", "loss_rot_pixelReg",
+                  "loss_rot_initCamRec", "loss_trans_initCamRec",
+                  "loss_rot_randCamRecLBS_N1",
+                  "loss_tran_planeAvgReg_initCamRef",
+                  "loss_tran_planeSoftReg_initRecCamRef",
+                  "loss_rotIdx_initCamRef_Aux",
+                  "loss_paramL2_dist_initRecCamRef_Aux"]:
+            assert k in losses, k
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), f"{k} = {v}"
+
+    def test_gradients_flow(self, model_and_vars):
+        model, variables, batch = model_and_vars
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, jax.random.PRNGKey(3),
+                method=model.train_forward,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(4)},
+            )
+            return sum(jnp.asarray(v) for v in losses.values())
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves(grads)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+        assert np.isfinite(total) and total > 0
+        # spot check: backbone, matching head, and camera head all get grads
+        for key in ["backbone", "matching_head", "camera_head", "plane_head"]:
+            sub = grads[key]
+            s = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(sub))
+            assert s > 0, f"no gradient in {key}"
+
+
+class TestInference:
+    def test_shapes_and_cameras(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        out = model.apply(
+            variables, batch["image0"], batch["image1"],
+            method=model.inference, out_h=H, out_w=W,
+        )
+        v0 = out["view0"]
+        assert v0["valid"].shape == (B, NQ)
+        assert v0["masks"].shape == (B, NQ, H, W)
+        assert v0["params"].shape == (B, NQ, 3)
+        assert v0["centers"].shape == (B, NQ, 2)
+        assert bool(jnp.any(v0["valid"]))  # zero-detection fallback guarantees >= 1
+        cams = out["cameras"]
+        for key in ["camera_zero", "camera_init", "camera_initRec",
+                    "camera_avgRef0", "camera_softRef0", "camera"]:
+            assert key in cams, key
+            assert cams[key]["tran"].shape == (B, 3)
+            assert cams[key]["rot"].shape == (B, 4)
+            assert np.all(np.isfinite(np.asarray(cams[key]["rot"])))
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(cams["camera"]["rot"]), axis=-1), 1.0, atol=1e-4)
+        assert out["assignment"].shape == (B, NQ, NQ)

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from nopesac_tpu.utils import rle
+
+
+def random_mask(rng, h, w, blobs=3):
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(blobs):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        hh, ww = rng.integers(1, h // 2 + 1), rng.integers(1, w // 2 + 1)
+        m[y:y + hh, x:x + ww] = 1
+    return m
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_encode_decode(self, seed):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(2, 97)), int(rng.integers(2, 97))
+        m = random_mask(rng, h, w)
+        r = rle.encode(m)
+        assert isinstance(r["counts"], bytes)
+        out = rle.decode(r)
+        np.testing.assert_array_equal(out, m)
+
+    def test_empty_and_full(self):
+        for m in [np.zeros((7, 5), np.uint8), np.ones((7, 5), np.uint8)]:
+            np.testing.assert_array_equal(rle.decode(rle.encode(m)), m)
+
+    def test_uncompressed_counts_list(self):
+        # {"counts": [list], "size": ...} decode path (as stored in datasets)
+        m = np.zeros((4, 3), np.uint8)
+        m[1:3, 1] = 1
+        r = rle.encode(m)
+        runs = rle._to_runs(r)
+        out = rle.decode({"size": [4, 3], "counts": list(runs)})
+        np.testing.assert_array_equal(out, m)
+
+    def test_known_string_format(self):
+        # single-pixel mask at (0,0) of 1x1 -> runs [0, 1]
+        m = np.ones((1, 1), np.uint8)
+        r = rle.encode(m)
+        assert rle.area(r) == 1
+        np.testing.assert_array_equal(rle.decode(r), m)
+
+
+class TestGeometry:
+    def test_area(self):
+        rng = np.random.default_rng(3)
+        m = random_mask(rng, 31, 45)
+        assert rle.area(rle.encode(m)) == int(m.sum())
+
+    def test_bbox(self):
+        m = np.zeros((20, 30), np.uint8)
+        m[5:11, 7:19] = 1
+        bbox = rle.to_bbox(rle.encode(m))
+        np.testing.assert_array_equal(bbox, [7, 5, 12, 6])
+
+    def test_bbox_empty(self):
+        np.testing.assert_array_equal(rle.to_bbox(rle.encode(np.zeros((4, 4), np.uint8))), [0, 0, 0, 0])
+
+    def test_iou(self):
+        rng = np.random.default_rng(4)
+        ms1 = [random_mask(rng, 24, 24) for _ in range(3)]
+        ms2 = [random_mask(rng, 24, 24) for _ in range(2)]
+        got = rle.iou([rle.encode(m) for m in ms1], [rle.encode(m) for m in ms2])
+        for i, a in enumerate(ms1):
+            for j, b in enumerate(ms2):
+                inter = np.logical_and(a, b).sum()
+                union = np.logical_or(a, b).sum()
+                expect = inter / union if union else 0.0
+                np.testing.assert_allclose(got[i, j], expect, atol=1e-9)
+
+    def test_iou_crowd(self):
+        a = np.zeros((10, 10), np.uint8); a[:5] = 1
+        b = np.ones((10, 10), np.uint8)
+        got = rle.iou([rle.encode(a)], [rle.encode(b)], iscrowd=[1])
+        np.testing.assert_allclose(got[0, 0], 1.0)  # inter/area(dt)
+
+    def test_merge(self):
+        a = np.zeros((8, 8), np.uint8); a[:4] = 1
+        b = np.zeros((8, 8), np.uint8); b[2:6] = 1
+        u = rle.decode(rle.merge([rle.encode(a), rle.encode(b)]))
+        np.testing.assert_array_equal(u, (a | b))
+        i = rle.decode(rle.merge([rle.encode(a), rle.encode(b)], intersect=True))
+        np.testing.assert_array_equal(i, (a & b))
+
+
+class TestPolygon:
+    def test_rect_polygon(self):
+        # rectangle polygon -> filled mask
+        poly = [[2, 3, 10, 3, 10, 8, 2, 8]]
+        m = rle.poly_to_mask(poly, 12, 14)
+        assert m[5, 6] == 1 and m[0, 0] == 0
+        assert m[3, 2] == 1  # boundary included
