@@ -1,0 +1,85 @@
+"""Batched data loading with background prefetch.
+
+Replaces detectron2's build_detection_{train,test}_loader
+(train_NopeSAC.py:73-85): python worker threads map pairs to fixed-shape
+numpy samples, collate, and (optionally) hand off to jax.device_put with a
+batch sharding. Multi-host: each process takes a strided shard of the
+dataset (index % num_shards == shard_id), like d2's per-rank sampler.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+from .mapper import collate
+
+
+class PairLoader:
+    def __init__(
+        self,
+        dataset: List[dict],
+        mapper: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 42,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        prefetch: int = 2,
+        infinite: bool = False,
+    ):
+        self.dataset = dataset[shard_id::num_shards] if num_shards > 1 else dataset
+        self.mapper = mapper
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.infinite = infinite
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _produce(self, q: "queue.Queue", stop: threading.Event):
+        epoch = 0
+        while not stop.is_set():
+            idx = self._epoch_indices(epoch)
+            nb = len(self)
+            for b in range(nb):
+                if stop.is_set():
+                    return
+                lo = b * self.batch_size
+                chunk = idx[lo: lo + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    break
+                samples = [self.mapper(self.dataset[i]) for i in chunk]
+                q.put(collate(samples))
+            if not self.infinite:
+                q.put(None)
+                return
+            epoch += 1
+
+    def __iter__(self) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,270 @@
+"""Pair mapper: dataset pair dicts -> fixed-shape numpy training samples.
+
+Spec: data/planercnn_transforms.py (PlaneRCNNMapper) +
+siamese_planeTR.py:475-532 (prepare_targets). TPU redesign: instead of
+ragged detectron2 Instances, every sample is padded to NQ=50 plane slots
+with validity masks so batches have static shapes.
+
+Mask sources, in priority order (call_mp3d:229-263 / call_scannet:327-355):
+  1. mp3d: per-view observation pickle (semantic_sensor / depth_sensor)
+  2. scannet: twoView_Anns pickle (plane_masks, camera_K) + depth png
+  3. fallback: the annotations' own COCO segmentations (polygon or RLE) -
+     this also makes the pipeline usable without the raw observation dumps.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core import geometry as geo
+from ..utils import rle as rle_util
+from .cam_bins import CameraBins
+
+MP3D_PATH_PREFIX = "/Pool1/users/jinlinyi/dataset/mp3d_rpnet_v4_sep20/"
+
+
+def _np_coordinate_map(h, w, k_matrix=None):
+    if k_matrix is None:
+        focal = 517.97
+        k_matrix = np.array([[focal, 0, 320.0], [0, focal, 240.0], [0, 0, 1.0]], np.float32)
+    k_inv = np.linalg.inv(np.asarray(k_matrix, np.float64)).astype(np.float32)
+    x = (np.arange(w, dtype=np.float32) / w * 640.0)[None, :].repeat(h, 0)
+    y = (np.arange(h, dtype=np.float32) / h * 480.0)[:, None].repeat(w, 1)
+    xy1 = np.stack([x, y, np.ones((h, w), np.float32)]).reshape(3, -1)
+    return (k_inv @ xy1).reshape(3, h, w)
+
+
+class PairMapper:
+    """Callable mapping one dataset pair dict to fixed-shape numpy arrays."""
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        dataset_kind: str = "mp3d",
+        root_dir: str = "",
+        num_queries: int = 50,
+        image_size=(480, 640),
+        pixel_mean=(123.675, 116.280, 103.530),
+        pixel_std=(58.395, 57.120, 57.375),
+        camera_on: bool = True,
+        load_bins: bool = False,
+        eval_gt_box: bool = False,
+        depth_on: bool = True,
+    ):
+        self.is_train = is_train
+        self.kind = dataset_kind
+        self.root_dir = root_dir
+        self.nq = num_queries
+        self.h, self.w = image_size
+        self.pixel_mean = np.asarray(pixel_mean, np.float32)
+        self.pixel_std = np.asarray(pixel_std, np.float32)
+        self.camera_on = camera_on
+        self.eval_gt_box = eval_gt_box
+        self.depth_on = depth_on
+        self.bins: Optional[CameraBins] = None
+        if load_bins and camera_on:
+            try:
+                self.bins = CameraBins(dataset=dataset_kind)
+            except Exception:
+                self.bins = None
+        self.default_kmap = _np_coordinate_map(self.h, self.w)
+
+    # ---------------- image / mask IO ----------------
+    def _read_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        if img.shape[:2] != (self.h, self.w):
+            img = np.asarray(
+                Image.open(path).convert("RGB").resize((self.w, self.h)), np.float32
+            )
+        return img
+
+    def _mp3d_obs(self, view: dict):
+        house, img_id = view["image_id"].split("_", 1)
+        path = os.path.join(self.root_dir, "observations", house, img_id + ".pkl")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def _scannet_ann(self, view: dict):
+        scene_idx, image_idx = view["image_id"].split("-")
+        path = os.path.join(self.root_dir, "twoView_Anns", scene_idx, image_idx + ".pkl")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def _masks_from_annotations(self, view: dict) -> np.ndarray:
+        annos = view.get("annotations", [])
+        masks = []
+        for ann in annos[: self.nq]:
+            seg = ann.get("segmentation")
+            if seg is None:
+                masks.append(np.zeros((self.h, self.w), np.uint8))
+            else:
+                m = rle_util.seg_to_mask(seg, view.get("height", self.h), view.get("width", self.w))
+                if m.shape != (self.h, self.w):
+                    from PIL import Image
+
+                    m = np.asarray(
+                        Image.fromarray(m * 255).resize((self.w, self.h)), np.uint8
+                    ) > 127
+                    m = m.astype(np.uint8)
+                masks.append(m)
+        return np.stack(masks) if masks else np.zeros((0, self.h, self.w), np.uint8)
+
+    # ---------------- per-view targets ----------------
+    def view_targets(self, view: dict) -> Dict[str, np.ndarray]:
+        nq, h, w = self.nq, self.h, self.w
+        depth = np.zeros((h, w), np.float32)
+        kmap = self.default_kmap
+        masks = None
+
+        if self.kind == "mp3d":
+            obs = self._mp3d_obs(view)
+            if obs is not None:
+                sem = np.asarray(obs["semantic_sensor"])
+                ids = np.unique(sem)
+                ids = ids[ids != 0][: nq]
+                masks = (ids[:, None, None] == sem[None]).astype(np.uint8)
+                if self.depth_on or True:
+                    depth = np.asarray(obs["depth_sensor"], np.float32)
+        elif self.kind == "scannet":
+            ann = self._scannet_ann(view)
+            if ann is not None:
+                masks = np.stack([np.asarray(m, np.uint8) for m in ann["plane_masks"]])[: nq]
+                kmap = _np_coordinate_map(h, w, ann["camera_K"])
+                dpath = view["file_name"].replace("color", "depth").replace(".jpg", ".png")
+                if os.path.exists(dpath):
+                    from PIL import Image
+
+                    depth = np.asarray(Image.open(dpath), np.float32) / 1000.0
+
+        if masks is None:
+            masks = self._masks_from_annotations(view)
+
+        n = min(masks.shape[0], nq)
+        gt_masks = np.zeros((nq, h, w), np.uint8)
+        if masks.shape[1:] != (h, w) and masks.size:
+            from PIL import Image
+
+            masks = np.stack([
+                np.asarray(Image.fromarray(m * 255).resize((w, h)), np.uint8) > 127
+                for m in masks
+            ]).astype(np.uint8)
+        gt_masks[:n] = masks[:n]
+        gt_valid = np.zeros((nq,), bool)
+        gt_valid[:n] = True
+
+        planes = [ann["plane"] for ann in view.get("annotations", [])][:n]
+        gt_params = np.zeros((nq, 3), np.float32)
+        if planes:
+            gt_params[: len(planes)] = np.asarray(planes, np.float32)
+
+        # plane centers in normalised xy over each mask (prepare_targets:498-507)
+        ys = (np.arange(h, dtype=np.float32) / h)[None, :, None]
+        xs = (np.arange(w, dtype=np.float32) / w)[None, None, :]
+        mf = gt_masks[:n].astype(np.float32)
+        areas = mf.sum(axis=(1, 2)) + 1e-10
+        cx = (mf * xs).sum(axis=(1, 2)) / areas
+        cy = (mf * ys).sum(axis=(1, 2)) / areas
+        gt_centers = np.zeros((nq, 2), np.float32)
+        gt_centers[:n, 0] = cx
+        gt_centers[:n, 1] = cy
+
+        pixel_centers = np.zeros((h, w, 2), np.float32)
+        for i in range(n):
+            pixel_centers[gt_masks[i] > 0] = gt_centers[i]
+
+        if depth.shape != (h, w):
+            from PIL import Image
+
+            depth = np.asarray(Image.fromarray(depth).resize((w, h)), np.float32)
+
+        return {
+            "gt_valid": gt_valid,
+            "gt_masks": gt_masks,
+            "gt_params": gt_params,
+            "gt_centers": gt_centers,
+            "gt_pixel_centers": pixel_centers,
+            "depth": depth,
+            "k_inv_dot_xy1": kmap.astype(np.float32),
+        }
+
+    # ---------------- full pair ----------------
+    def __call__(self, pair: dict) -> Dict:
+        sample: Dict = {"meta": {
+            "image_id0": pair["0"]["image_id"],
+            "image_id1": pair["1"]["image_id"],
+            "file_name0": pair["0"].get("file_name", ""),
+            "file_name1": pair["1"].get("file_name", ""),
+            "rel_pose": pair.get("rel_pose", None),
+            "gt_corrs": pair.get("gt_corrs", None),
+        }}
+        for i in ("0", "1"):
+            view = pair[i]
+            fname = view.get("file_name", "")
+            if self.kind == "mp3d" and MP3D_PATH_PREFIX in fname:
+                fname = fname.replace(MP3D_PATH_PREFIX, self.root_dir)
+            if fname and os.path.exists(fname):
+                img = self._read_image(fname)
+            else:
+                img = np.zeros((self.h, self.w, 3), np.float32)
+            sample[f"image{i}"] = (img - self.pixel_mean) / self.pixel_std
+
+        if self.is_train or self.eval_gt_box:
+            sample["targets0"] = self.view_targets(pair["0"])
+            sample["targets1"] = self.view_targets(pair["1"])
+
+        # relative pose, quat sign-canonicalised (process_camera:549-564)
+        rel = pair.get("rel_pose")
+        if rel is not None:
+            rot = np.asarray(rel["rotation"], np.float32)
+            if rot[0] < 0:
+                rot = -rot
+            tran = np.asarray(rel["position"], np.float32)
+            sample["gt_pose"] = np.concatenate([tran, rot]).astype(np.float32)
+            if self.bins is not None:
+                sample["meta"]["tran_cls"] = self.bins.xyz2class(*rel["position"])
+                sample["meta"]["rot_cls"] = self.bins.quat2class(*rel["rotation"])
+        else:
+            sample["gt_pose"] = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
+
+        # gt correspondences, capped at NQ (process_plane_corr_matrix:573-576)
+        corr_idx1 = np.zeros((self.nq,), np.int32)
+        corr_idx2 = np.zeros((self.nq,), np.int32)
+        corr_valid = np.zeros((self.nq,), bool)
+        corrs = pair.get("gt_corrs") or []
+        kept = [(a, b) for a, b in corrs if a < self.nq and b < self.nq][: self.nq]
+        for k, (a, b) in enumerate(kept):
+            corr_idx1[k] = a
+            corr_idx2[k] = b
+            corr_valid[k] = True
+        sample["corr_idx1"] = corr_idx1
+        sample["corr_idx2"] = corr_idx2
+        sample["corr_valid"] = corr_valid
+        return sample
+
+
+def collate(samples) -> Dict:
+    """Stack a list of mapper outputs into one batched dict (metas listed)."""
+    out: Dict = {"meta": [s["meta"] for s in samples]}
+
+    def stack(key, sub=None):
+        if sub is None:
+            return np.stack([s[key] for s in samples])
+        return np.stack([s[key][sub] for s in samples])
+
+    for key in samples[0]:
+        if key == "meta":
+            continue
+        if key.startswith("targets"):
+            out[key] = {k: stack(key, k) for k in samples[0][key]}
+        else:
+            out[key] = stack(key)
+    return out

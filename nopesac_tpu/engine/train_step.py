@@ -1,0 +1,95 @@
+"""pjit-able train/eval steps over a data-parallel mesh.
+
+The reference trains with detectron2 DefaultTrainer + DDP (SURVEY.md 2.2);
+here a single jitted function carries forward + loss + backward + optimizer
+update, with the batch sharded over the `data` mesh axis and parameters
+replicated. XLA inserts the gradient all-reduce (ICI) automatically from the
+sharding constraints - no explicit collectives needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(params, batch_stats, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, tx) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rng_fold = jax.random.fold_in(rng, state.step)
+        drop_rng, aim_rng = jax.random.split(rng_fold)
+
+        def loss_fn(params):
+            (losses), new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, aim_rng,
+                method=model.train_forward,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            total = jnp.asarray(0.0, jnp.float32)
+            for v in losses.values():
+                total = total + v.astype(jnp.float32)
+            return total, (losses, new_state["batch_stats"])
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """jit with replicated state and batch sharded over the data axis."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, out_h: int = 480, out_w: int = 640) -> Callable:
+    def eval_step(variables, image0, image1):
+        return model.apply(variables, image0, image1, method=model.inference,
+                           out_h=out_h, out_w=out_w)
+
+    return eval_step

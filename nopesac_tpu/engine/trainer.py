@@ -1,0 +1,235 @@
+"""Training loop: the TPU-native replacement for detectron2 DefaultTrainer.
+
+Spec: train_NopeSAC.py:63-205 (Trainer) + d2 engine internals it relies on:
+  * per-module LR multipliers / clipping via engine/optimizer.py
+  * periodic checkpoints + resume (engine/checkpoint.py)
+  * rank-0 metrics logging to OUTPUT_DIR/metrics.json + metrics.txt
+  * periodic evaluation through the MP3DEvaluator
+  * config + code snapshot into OUTPUT_DIR (copy_all_code, train_NopeSAC.py:44-61)
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.config import CfgNode
+from ..data.loader import PairLoader
+from ..data.mapper import PairMapper
+from ..data.registry import DatasetCatalog
+from ..models.nopesac import PlaneTRNopeSAC
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoint import Checkpointer
+from .optimizer import apply_freeze, build_optimizer
+from .train_step import create_train_state, jit_train_step, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32, train_image_hw=None) -> PlaneTRNopeSAC:
+    h = cfg.MODEL.SEM_SEG_HEAD
+    cam = cfg.MODEL.CAMERA_HEAD
+    return PlaneTRNopeSAC(
+        num_queries=h.NUM_OBJECT_QUERIES,
+        embedding_on=cfg.MODEL.EMBEDDING_ON,
+        camera_on=cfg.MODEL.CAMERA_ON,
+        depth_on=cfg.MODEL.DEPTH_ON,
+        cam_rec_on=cam.CAM_REC_ON,
+        cam_ref_on=cam.REFINE_ON,
+        warp_plane_in_cam_ref_on=cam.WARP_PLANE_IN_CAM_REF_ON,
+        offset_multiplier=cfg.MODEL.MATCHING_HEAD.OFFSET_MULTIPLIER,
+        normal_multiplier=cfg.MODEL.MATCHING_HEAD.NORMAL_MULTIPLIER,
+        sinkhorn_iterations=cfg.MODEL.MATCHING_HEAD.get("SINKHORN_ITERS", 200),
+        plane_score_threshold=cfg.TEST.PLANE_SCORE_THRESHOLD,
+        mask_prob_threshold=cfg.TEST.MASK_PROB_THRESHOLD,
+        overlap_threshold=cfg.TEST.OVERLAP_THRESHOLD,
+        matching_score_threshold=cfg.TEST.MATCHING_SCORE_THRESHOLD,
+        inference_out_cam_type=cam.INFERENCE_OUT_CAM_TYPE,
+        loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
+        loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
+        loss_matching_on=cfg.MODEL.LOSS_EMB_ON,
+        matcher_on=cfg.MODEL.HUNGARIAN_MATCHER_ON,
+        rand_on=cam.RAND_ON,
+        no_object_weight=h.NO_OBJECT_WEIGHT,
+        dice_weight=h.DICE_WEIGHT,
+        mask_weight=h.MASK_WEIGHT,
+        param_weight_l1=h.PARAM_WEIGHT_L1,
+        param_weight_cos=h.PARAM_WEIGHT_COS,
+        param_hm_weight_l1=h.PARAM_HM_WEIGHT_L1,
+        param_weight_q=h.PARAM_WEIGHT_Q,
+        center_ins_weight=h.PARAM_WEIGHT_CENTER_INS,
+        param_weight_angle=h.PARAM_WEIGHT_ANGLE,
+        param_weight_offset=h.PARAM_WEIGHT_OFFSET,
+        initial_cam_weight=cam.INITIAL_CAM_WEIGHT,
+        plane_cam_weight=cam.PLANE_CAM_WEIGHT,
+        plane_cam_weight_predplane=cam.PLANE_CAM_WEIGHT_PREDPLANE,
+        dtype=dtype,
+    )
+
+
+def _dataset_kind(name: str) -> str:
+    return "scannet" if "scannet" in name else "mp3d"
+
+
+class Trainer:
+    """End-to-end trainer mirroring the reference CLI behaviour."""
+
+    def __init__(self, cfg: CfgNode, dataset_list: Optional[List[dict]] = None,
+                 image_hw=(480, 640)):
+        self.cfg = cfg
+        self.image_hw = image_hw
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        self._dump_config()
+
+        self.model = build_model_from_cfg(cfg)
+        self.mesh = make_mesh()
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        self._train_dataset = dataset_list
+        self._loader = None
+        self._init_state()
+
+    def _build_train_loader(self):
+        cfg = self.cfg
+        train_name = cfg.DATASETS.TRAIN[0]
+        dataset_list = self._train_dataset or DatasetCatalog.get(train_name)
+        mapper = PairMapper(
+            is_train=True,
+            dataset_kind=_dataset_kind(train_name),
+            root_dir=cfg.DATASETS.ROOT_DIR,
+            num_queries=cfg.MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES,
+            image_size=self.image_hw,
+            pixel_mean=cfg.MODEL.PIXEL_MEAN,
+            pixel_std=cfg.MODEL.PIXEL_STD,
+            camera_on=cfg.MODEL.CAMERA_ON,
+            depth_on=True,
+        )
+        return PairLoader(
+            dataset_list, mapper,
+            batch_size=cfg.SOLVER.IMS_PER_BATCH,
+            shuffle=True, drop_last=True, seed=cfg.SEED,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+            infinite=True,
+        )
+
+    def _dump_config(self):
+        if jax.process_index() != 0:
+            return
+        with open(os.path.join(self.cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(self.cfg.dump())
+
+    def _init_state(self):
+        # synthetic batch to shape-init the model (shapes depend only on the
+        # image size, not on real data)
+        from ..data.mapper import collate
+        from ..data.synthetic import make_dataset
+
+        h, w = self.image_hw
+        data = make_dataset(n_pairs=1, n_planes=4, h=h, w=w)
+        init_mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
+        batch = collate([init_mapper(d) for d in data])
+        batch.pop("meta", None)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(self.cfg.SEED),
+             "dropout": jax.random.PRNGKey(self.cfg.SEED + 1)},
+            batch, jax.random.PRNGKey(0), method=self.model.init_all,
+        )
+        params = variables["params"]
+        if self.cfg.MODEL.WEIGHTS:
+            params = self._load_weights(params, self.cfg.MODEL.WEIGHTS)
+        self.tx = apply_freeze(
+            build_optimizer(self.cfg, params), params,
+            frozen_prefixes=tuple(self.cfg.MODEL.FREEZE),
+        )
+        self.state = create_train_state(params, variables.get("batch_stats", {}), self.tx)
+        self.train_step = jit_train_step(make_train_step(self.model, self.tx), self.mesh)
+
+    def _load_weights(self, params, path: str):
+        if path.endswith(".pth") or path.endswith(".pkl"):
+            from ..utils.torch_import import import_torch_weights
+
+            return import_torch_weights(params, path)
+        restored = self.checkpointer.restore(
+            {"params": params}, path if os.path.exists(path) else None)
+        return restored["params"]
+
+    def resume_or_load(self, resume: bool = False):
+        if resume:
+            restored = self.checkpointer.restore(jax.device_get(self.state))
+            if restored is not None:
+                self.state = jax.device_put(restored)
+                logger.info("resumed from step %d", int(self.state.step))
+
+    # ------------------------------------------------------------------
+    def train(self, max_iter: Optional[int] = None):
+        cfg = self.cfg
+        max_iter = max_iter or cfg.SOLVER.MAX_ITER
+        rng = jax.random.PRNGKey(cfg.SEED + jax.process_index())
+        metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+        start = int(self.state.step)
+        t0 = time.time()
+        if self._loader is None:
+            self._loader = self._build_train_loader()
+        it = iter(self._loader)
+        for step in range(start, max_iter):
+            batch = next(it)
+            batch.pop("meta", None)
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, batch, rng)
+
+            if jax.process_index() == 0 and (step % 20 == 0 or step == max_iter - 1):
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m["iteration"] = step
+                m["time_per_iter"] = (time.time() - t0) / max(step - start + 1, 1)
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
+                logger.info("iter %d total %.4f", step, m.get("total_loss", -1))
+
+            if (step + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+                self.checkpointer.save(self.state, step + 1)
+            if cfg.TEST.EVAL_PERIOD > 0 and (step + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                try:
+                    self.test()
+                except Exception as e:  # eval must not kill training
+                    logger.warning("eval failed: %s", e)
+        self.checkpointer.save(self.state, max_iter, name="model_final")
+        return self.state
+
+    # ------------------------------------------------------------------
+    def test(self, dataset_list: Optional[List[dict]] = None, max_pairs: Optional[int] = None):
+        from ..evaluation.evaluator import MP3DEvaluator
+        from ..evaluation.postprocess import postprocess_batch
+
+        cfg = self.cfg
+        test_name = cfg.DATASETS.TEST[0]
+        if dataset_list is None:
+            dataset_list = DatasetCatalog.get(test_name)
+        if max_pairs:
+            dataset_list = dataset_list[:max_pairs]
+        mapper = PairMapper(
+            is_train=False, dataset_kind=_dataset_kind(test_name),
+            root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
+            pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
+        )
+        evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list)
+        h, w = self.image_hw
+        eval_step = jax.jit(make_eval_step(self.model, out_h=h, out_w=w))
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+        bs = 4
+        for lo in range(0, len(dataset_list), bs):
+            chunk = dataset_list[lo: lo + bs]
+            samples = [mapper(d) for d in chunk]
+            img0 = jnp.asarray(np.stack([s["image0"] for s in samples]))
+            img1 = jnp.asarray(np.stack([s["image1"] for s in samples]))
+            out = jax.device_get(eval_step(variables, img0, img1))
+            metas = [s["meta"] for s in samples]
+            results = postprocess_batch(out, metas, height=h, width=w)
+            evaluator.process(chunk, results)
+        return evaluator.evaluate()

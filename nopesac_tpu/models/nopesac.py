@@ -288,6 +288,15 @@ class PlaneTRNopeSAC(nn.Module):
 
         return losses
 
+    def init_all(self, batch: Dict, rng: jax.Array):
+        """Parameter-creation pass touching BOTH the training and inference
+        paths, so a model initialised under any loss config still has every
+        submodule's parameters (flax creates params lazily on first use)."""
+        losses = self.train_forward(batch, rng)
+        h, w = batch["image0"].shape[1:3]
+        _ = self.inference(batch["image0"], batch["image1"], out_h=int(h), out_w=int(w))
+        return losses
+
     # ------------------------------------------------------------------
     # inference (fixed-shape device part)
     # ------------------------------------------------------------------

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Inference / evaluation CLI, flag-compatible with the reference
+test_NopeSAC.py.
+
+Usage:
+  python test_NopeSAC.py --config-file configs/inference_mp3d.yaml --eval-only \
+      TEST.EVAL_FULL_SCENE True
+
+Runs batched TPU inference over cfg.DATASETS.TEST, evaluates with the
+MP3DEvaluator, and (with TEST.EVAL_FULL_SCENE True) writes the
+NopeSAC_instances_predictions.pth + continuous.pkl artifacts that eval.py
+consumes (the reference's file-level contract, SURVEY.md section 1).
+"""
+from __future__ import annotations
+
+import logging
+import sys
+
+from train_NopeSAC import default_argument_parser, setup
+
+logger = logging.getLogger(__name__)
+
+
+def main(args):
+    cfg = setup(args)
+
+    import nopesac_tpu.data.datasets  # noqa: F401
+    from nopesac_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.resume_or_load(resume=args.resume)
+    results = trainer.test()
+    for k, v in (results or {}).items():
+        logger.info("%s: %s", k, v)
+    return results
+
+
+if __name__ == "__main__":
+    args = default_argument_parser().parse_args()
+    main(args)
+    sys.exit(0)

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from nopesac_tpu.data.loader import PairLoader
+from nopesac_tpu.data.mapper import PairMapper, collate
+from nopesac_tpu.data.synthetic import make_dataset, make_pair, _warp_plane_np, FLIP
+
+
+class TestSynthetic:
+    def test_pair_schema(self):
+        rng = np.random.default_rng(0)
+        pair = make_pair(rng, n_planes=5, h=96, w=128)
+        for i in ("0", "1"):
+            assert len(pair[i]["annotations"]) == 5
+            assert "plane" in pair[i]["annotations"][0]
+        assert len(pair["gt_corrs"]) == 5
+        assert abs(np.linalg.norm(pair["rel_pose"]["rotation"]) - 1) < 1e-6
+
+    def test_geometric_consistency(self):
+        """view-1 params warped by identity must equal view-0 warped by pose."""
+        rng = np.random.default_rng(1)
+        pair = make_pair(rng, n_planes=4)
+        q = np.asarray(pair["rel_pose"]["rotation"])
+        t = np.asarray(pair["rel_pose"]["position"])
+        for a0, a1 in zip(pair["0"]["annotations"], pair["1"]["annotations"]):
+            g_from0 = _warp_plane_np(np.asarray(a0["plane"]), q, t)
+            g_from1 = FLIP * np.asarray(a1["plane"])
+            np.testing.assert_allclose(g_from0, g_from1, atol=1e-5)
+
+
+class TestMapper:
+    def test_train_sample_shapes(self):
+        data = make_dataset(2, n_planes=5, h=96, w=128)
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
+        s = mapper(data[0])
+        assert s["image0"].shape == (96, 128, 3)
+        t = s["targets0"]
+        assert t["gt_valid"].shape == (50,) and t["gt_valid"].sum() == 5
+        assert t["gt_masks"].shape == (50, 96, 128)
+        assert t["gt_masks"][0].sum() > 0
+        assert t["gt_params"].shape == (50, 3)
+        assert np.linalg.norm(t["gt_params"][0]) > 0
+        # centers should be inside the unit square and inside the mask bbox
+        assert (t["gt_centers"][:5] > 0).all() and (t["gt_centers"][:5] < 1).all()
+        assert s["gt_pose"].shape == (7,)
+        assert s["gt_pose"][3] >= 0  # w canonicalised
+        assert s["corr_valid"].sum() == 5
+
+    def test_eval_sample_no_targets(self):
+        data = make_dataset(1, n_planes=3, h=96, w=128)
+        mapper = PairMapper(is_train=False, dataset_kind="mp3d", image_size=(96, 128))
+        s = mapper(data[0])
+        assert "targets0" not in s
+        assert "image0" in s and "meta" in s
+
+    def test_collate(self):
+        data = make_dataset(3, n_planes=4, h=96, w=128)
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
+        batch = collate([mapper(d) for d in data])
+        assert batch["image0"].shape == (3, 96, 128, 3)
+        assert batch["targets1"]["gt_masks"].shape == (3, 50, 96, 128)
+        assert len(batch["meta"]) == 3
+
+
+class TestLoader:
+    def test_iteration_and_shard(self):
+        data = make_dataset(8, n_planes=3, h=96, w=128)
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
+        loader = PairLoader(data, mapper, batch_size=2, shuffle=True, seed=1)
+        batches = list(loader)
+        assert len(batches) == 4
+        # sharded loader sees half the data
+        loader2 = PairLoader(data, mapper, batch_size=2, num_shards=2, shard_id=0)
+        assert len(list(loader2)) == 2

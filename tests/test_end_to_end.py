@@ -1,0 +1,78 @@
+"""End-to-end slice: synthetic pairs -> Trainer -> inference -> evaluator ->
+artifact contract (instances_predictions + continuous.pkl).
+
+This is BASELINE.json config-1 shaped ("single MP3D pair, eval-only
+inference") on synthetic data, exercising the full host/device split.
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from nopesac_tpu.config.config import get_cfg
+from nopesac_tpu.data.synthetic import make_dataset
+
+H, W = 96, 128
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    cfg = get_cfg()
+    cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+    cfg.MODEL.EMBEDDING_ON = True
+    cfg.MODEL.CAMERA_ON = True
+    cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+    cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+    cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+    cfg.TEST.EVAL_FULL_SCENE = True
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("e2e_out"))
+    cfg.freeze()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trainer(tiny_cfg):
+    from nopesac_tpu.engine.trainer import Trainer
+
+    return Trainer(tiny_cfg, image_hw=(H, W))
+
+
+class TestEvalSlice:
+    def test_inference_eval_and_artifacts(self, trainer, tiny_cfg):
+        data = make_dataset(n_pairs=2, n_planes=4, h=H, w=W, seed=3)
+        results = trainer.test(dataset_list=data)
+
+        # camera metrics present with the reference's exact names
+        for key in ["T median err", "R median err", "T err < 1.0", "R err < 30"]:
+            assert key in results, key
+        # detection metrics
+        assert "mask_ap@0.5" in results
+        assert "plane_ap@iou0.5normal30.0offset0.3" in results
+        # matching metrics
+        assert "precision" in results and "recall" in results
+
+        # artifact contract (mp3d_evaluation.py:331-342)
+        out = tiny_cfg.OUTPUT_DIR
+        pth = os.path.join(out, "NopeSAC_instances_predictions.pth")
+        assert os.path.exists(pth)
+        import torch
+
+        preds = torch.load(pth, weights_only=False)
+        assert len(preds) == 2
+        p = preds[0]
+        assert "instances" in p["0"] and isinstance(p["0"]["pred_plane"], torch.Tensor)
+        ins = p["0"]["instances"][0]
+        assert set(ins) >= {"image_id", "category_id", "score", "segmentation", "bbox"}
+
+        cont = os.path.join(out, "continuous.pkl")
+        assert os.path.exists(cont)
+        with open(cont, "rb") as f:
+            od = pickle.load(f)
+        assert set(od[0]) == {"n_corr", "cost", "best_camera", "gt_camera",
+                              "best_assignment", "plane_param_override", "image_ids"}
+        assert od[0]["best_camera"]["rotation"].shape == (4,)
