@@ -348,8 +348,11 @@ class PlaneTRNopeSAC(nn.Module):
 
         # if nothing survives, keep the max-overlap valid query
         # (siamese_planeTR.py:741-788); ties broken by first index like the
-        # reference's strict `>` update rule.
-        ov_for_max = jnp.where(valid & (mask_area >= 1) & (original_area >= 1), overlap, -1.0)
+        # reference's strict `>` update rule. The argmax must land on a VALID
+        # query even when every overlap is degenerate, hence the two-level
+        # penalty (-1 for valid-but-degenerate, -2 for invalid).
+        ov_for_max = jnp.where((mask_area >= 1) & (original_area >= 1), overlap, -1.0)
+        ov_for_max = jnp.where(valid, ov_for_max, -2.0)
         fallback2 = jax.nn.one_hot(jnp.argmax(ov_for_max, axis=1), nq, dtype=bool)
         any_keep = jnp.any(keep, axis=1, keepdims=True)
         # the fallback keeps the raw argmax-seg mask without the prob gate
