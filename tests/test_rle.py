@@ -87,6 +87,47 @@ class TestGeometry:
         np.testing.assert_array_equal(i, (a & b))
 
 
+class TestNativeParity:
+    def test_native_matches_python(self):
+        """C++ codec must be byte-identical to the pure-python reference."""
+        if not rle._HAVE_NATIVE:
+            pytest.skip("native codec not built")
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            m = random_mask(rng, 37, 53)
+            r_nat = rle.encode(m)
+            # force python path
+            flat = m.T.reshape(-1).astype(bool)
+            change = np.nonzero(np.diff(flat))[0] + 1
+            bounds = np.concatenate([[0], change, [flat.size]])
+            runs = np.diff(bounds)
+            if flat[0]:
+                runs = np.concatenate([[0], runs])
+            r_py = rle._counts_to_string(runs)
+            assert r_nat["counts"] == r_py
+            # python decode of the native string
+            np.testing.assert_array_equal(
+                rle.decode({"size": [37, 53], "counts": r_nat["counts"]}), m)
+
+    def test_native_iou_matches_python(self):
+        if not rle._HAVE_NATIVE:
+            pytest.skip("native codec not built")
+        rng = np.random.default_rng(12)
+        ms1 = [random_mask(rng, 24, 24) for _ in range(3)]
+        ms2 = [random_mask(rng, 24, 24) for _ in range(3)]
+        d = [rle.encode(m) for m in ms1]
+        g = [rle.encode(m) for m in ms2]
+        nat = rle._native_iou(d, g, None)
+        # python reference
+        out = np.zeros((3, 3))
+        for i, a in enumerate(ms1):
+            for j, b in enumerate(ms2):
+                inter = np.logical_and(a, b).sum()
+                union = np.logical_or(a, b).sum()
+                out[i, j] = inter / union if union else 0.0
+        np.testing.assert_allclose(nat, out, atol=1e-12)
+
+
 class TestPolygon:
     def test_rect_polygon(self):
         # rectangle polygon -> filled mask
