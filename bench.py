@@ -11,6 +11,8 @@ transformer layers + 18 GNN layers + 200 Sinkhorn iterations at bs=1) and
 report vs_baseline against that.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -18,8 +20,20 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 10.0  # assumed reference GPU single-stream rate
 
 
+def _t(msg, t0):
+    print(f"[bench] {msg}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    return time.time()
+
+
 def main():
     import jax
+
+    # persistent compilation cache: the heavy XLA compile (single host core)
+    # happens once; subsequent bench runs start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from nopesac_tpu.models.nopesac import PlaneTRNopeSAC
@@ -33,12 +47,15 @@ def main():
     img0 = jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
     img1 = jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
 
+    t0 = time.time()
     variables = jax.jit(
         lambda a, b: model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             a, b, method=model.inference, out_h=h, out_w=w,
         )
     )(img0[:1], img1[:1])
+    jax.block_until_ready(variables)
+    t0 = _t("init (bs=1 compile)", t0)
 
     @jax.jit
     def infer(i0, i1):
@@ -49,6 +66,7 @@ def main():
     # warmup / compile
     res = infer(img0, img1)
     jax.block_until_ready(res)
+    t0 = _t("bs=8 compile + warmup", t0)
 
     iters = 20
     t0 = time.perf_counter()

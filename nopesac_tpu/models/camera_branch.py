@@ -1,0 +1,74 @@
+"""Legacy camera branch: GT / cached SparsePlanes camera logits -> pose.
+
+Spec: modeling/meta_arch/camera_branch.py:7-133 (Camera_Branch). Used by the
+offline eval as an optional fallback when no regressed camera is available
+(eval.py:119): decodes top-k kmeans-bin class logits into (position,
+rotation) via the extracted cluster centres.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from ..data.cam_bins import CameraBins
+
+
+def _softmax(x):
+    x = np.asarray(x, np.float64)
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+class CameraBranch:
+    def __init__(self, cfg=None, dataset: str = "mp3d",
+                 cached_logits_path: Optional[str] = None):
+        self.mode = "CACHED"
+        if cfg is not None:
+            self.mode = cfg.MODEL.CAMERA_BRANCH
+            dataset = "scannet" if "scannet" in str(cfg.DATASETS.TEST) else "mp3d"
+        self.bins = CameraBins(dataset=dataset)
+        self.cached = None
+        if cached_logits_path:
+            with open(cached_logits_path, "rb") as f:
+                self.cached = pickle.load(f)
+
+    def xyz2class(self, x, y, z):
+        return self.bins.xyz2class(x, y, z)
+
+    def quat2class(self, w, xi, yi, zi):
+        return self.bins.quat2class(w, xi, yi, zi)
+
+    def class2xyz(self, cls):
+        return self.bins.class2xyz(cls)
+
+    def class2quat(self, cls):
+        return self.bins.class2quat(cls)
+
+    def get_rel_camera(self, pred_dicts: List[dict], tran_topk: int = 0,
+                       rot_topk: int = 0) -> List[dict]:
+        """Decode top-k binned camera for each prediction
+        (camera_branch.py:82-115). topk == -1 means use the GT pose."""
+        out = []
+        for pred in pred_dicts:
+            cam = pred["camera"]
+            if tran_topk == -1 and rot_topk == -1:
+                out.append({
+                    "position": np.asarray(cam["gts"]["tran"]),
+                    "rotation": np.asarray(cam["gts"]["rot"]),
+                    "position_prob": 1.0,
+                    "rotation_prob": 1.0,
+                })
+                continue
+            tl = np.asarray(cam["logits"]["tran"])
+            rl = np.asarray(cam["logits"]["rot"])
+            ti = np.argsort(tl)[::-1][tran_topk]
+            ri = np.argsort(rl)[::-1][rot_topk]
+            out.append({
+                "position": self.class2xyz(int(ti)),
+                "rotation": self.class2quat(int(ri)),
+                "position_prob": float(_softmax(tl)[ti]),
+                "rotation_prob": float(_softmax(rl)[ri]),
+            })
+        return out
