@@ -53,6 +53,8 @@ class PairMapper:
         load_bins: bool = False,
         eval_gt_box: bool = False,
         depth_on: bool = True,
+        augmentation: bool = False,
+        seed: int = 42,
     ):
         self.is_train = is_train
         self.kind = dataset_kind
@@ -64,6 +66,8 @@ class PairMapper:
         self.camera_on = camera_on
         self.eval_gt_box = eval_gt_box
         self.depth_on = depth_on
+        self.augmentation = augmentation and is_train
+        self._aug_rng = np.random.default_rng(seed)
         self.bins: Optional[CameraBins] = None
         if load_bins and camera_on:
             try:
@@ -215,6 +219,10 @@ class PairMapper:
                 img = self._read_image(fname)
             else:
                 img = np.zeros((self.h, self.w, 3), np.float32)
+            if self.augmentation:
+                from .augmentation import simclr_augment
+
+                img = simclr_augment(img, self._aug_rng)
             sample[f"image{i}"] = (img - self.pixel_mean) / self.pixel_std
 
         if self.is_train or self.eval_gt_box:

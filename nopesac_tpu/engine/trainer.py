@@ -108,6 +108,8 @@ class Trainer:
             pixel_std=cfg.MODEL.PIXEL_STD,
             camera_on=cfg.MODEL.CAMERA_ON,
             depth_on=True,
+            augmentation=cfg.DATALOADER.AUGMENTATION,
+            seed=cfg.SEED,
         )
         return PairLoader(
             dataset_list, mapper,

@@ -149,14 +149,12 @@ class MP3DEvaluator:
     def evaluate(self) -> "OrderedDict":
         predictions = self._predictions
         if self._distributed:
-            try:
-                from jax.experimental import multihost_utils
-                import jax
+            from ..parallel.host_gather import all_gather_objects, is_main_process
 
-                if jax.process_count() > 1:
-                    gathered = multihost_utils.process_allgather(None)  # placeholder
-            except Exception:
-                pass
+            per_host = all_gather_objects(predictions)
+            if not is_main_process():
+                return OrderedDict()
+            predictions = [p for host in per_host for p in host]
         if not predictions:
             logger.warning("MP3DEvaluator received no predictions")
             return OrderedDict()

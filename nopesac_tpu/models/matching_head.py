@@ -62,6 +62,8 @@ class MatchingHead(nn.Module):
     d_model: int = 256
     gnn_pairs: int = 9
     dtype: Dtype = jnp.float32
+    # None = auto (Pallas kernel on TPU, lax.fori_loop elsewhere)
+    use_pallas_sinkhorn: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -75,6 +77,7 @@ class MatchingHead(nn.Module):
         col_masks: Optional[jnp.ndarray] = None,  # [B, N2] bool
         normal_decay: float = 1.0,
         offset_decay: float = 1.0,
+        training: bool = False,
     ):
         b, n1, _ = plane_app1.shape
         n2 = plane_app2.shape[1]
@@ -108,8 +111,23 @@ class MatchingHead(nn.Module):
         log_scores = log_scores - normal_dist / self.normal_multiplier
 
         bin_score = self.param("bin_score", nn.initializers.ones, (), jnp.float32)
-        log_scores_padded = log_optimal_transport_masked(
-            log_scores, bin_score.astype(self.dtype), self.sinkhorn_iterations,
-            row_masks=row_masks, col_masks=col_masks,
-        )
+        use_pallas = self.use_pallas_sinkhorn
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if training:
+            # Pallas kernels carry no VJP; the train loss differentiates
+            # through the (scan-lowered, AD-capable) lax implementation.
+            use_pallas = False
+        if use_pallas:
+            from ..ops.sinkhorn_pallas import log_optimal_transport_masked_pallas
+
+            log_scores_padded = log_optimal_transport_masked_pallas(
+                log_scores.astype(jnp.float32), bin_score, self.sinkhorn_iterations,
+                row_masks=row_masks, col_masks=col_masks,
+            ).astype(self.dtype)
+        else:
+            log_scores_padded = log_optimal_transport_masked(
+                log_scores, bin_score.astype(self.dtype), self.sinkhorn_iterations,
+                row_masks=row_masks, col_masks=col_masks,
+            )
         return log_scores_padded

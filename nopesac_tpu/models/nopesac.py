@@ -205,7 +205,7 @@ class PlaneTRNopeSAC(nn.Module):
                 col_masks = match1 >= 0
                 log_scores = self.matching_head(
                     qf0, qf1, gt_pose, params0, params1,
-                    row_masks=row_masks, col_masks=col_masks,
+                    row_masks=row_masks, col_masks=col_masks, training=True,
                 )
                 gt_corr_m = intersect_with_valid(gt_corr, row_masks, col_masks)
                 losses["losses_emb_0"] = matching_nll_loss(log_scores, gt_corr_m)
