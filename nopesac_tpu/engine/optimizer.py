@@ -131,6 +131,14 @@ def freeze_params_mask(params, frozen_prefixes=()) -> Any:
 
 
 def apply_freeze(tx: optax.GradientTransformation, params, frozen_prefixes=()):
-    """Only apply updates to trainable parameters (frozen ones get zeros)."""
+    """Only apply updates to trainable parameters; frozen ones get zeros.
+
+    NOTE optax.masked leaves non-masked updates UNCHANGED (i.e. the raw
+    gradient would leak through), so frozen leaves are explicitly zeroed.
+    """
     mask = freeze_params_mask(params, frozen_prefixes)
-    return optax.masked(tx, mask)
+    inv = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), inv),
+        optax.masked(tx, mask),
+    )

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nopesac_tpu.config.config import get_cfg
+from nopesac_tpu.engine.optimizer import (
+    apply_freeze, build_optimizer, freeze_params_mask, make_lr_schedule,
+)
+
+
+def fake_params():
+    return {
+        "backbone": {
+            "stem_conv1": {"kernel": jnp.ones((3, 3, 3, 8))},
+            "stem_bn1": {"scale": jnp.ones(8), "bias": jnp.zeros(8),
+                         "mean": jnp.zeros(8), "var": jnp.ones(8)},
+        },
+        "plane_head": {
+            "query_embed": jnp.ones((50, 256)),
+            "plane_prob": {"kernel": jnp.ones((256, 2)), "bias": jnp.zeros(2)},
+        },
+        "matching_head": {"plane_app_proj": {"kernel": jnp.ones((256, 256))}},
+        "camera_head": {"trans": {"kernel": jnp.ones((256, 3))}},
+    }
+
+
+class TestLrSchedule:
+    def test_multistep_decay(self):
+        sched = make_lr_schedule(0.1, [100, 200], 0.1, warmup_iters=0,
+                                 warmup_factor=1.0, max_iter=300)
+        assert abs(float(sched(0)) - 0.1) < 1e-7
+        assert abs(float(sched(150)) - 0.01) < 1e-7
+        assert abs(float(sched(250)) - 0.001) < 1e-8
+
+    def test_warmup(self):
+        sched = make_lr_schedule(0.1, [], 0.1, warmup_iters=10,
+                                 warmup_factor=0.1, max_iter=100)
+        assert float(sched(0)) < 0.0101
+        assert abs(float(sched(10)) - 0.1) < 1e-7
+
+
+class TestFreeze:
+    def test_frozen_bn_masked(self):
+        params = fake_params()
+        mask = freeze_params_mask(params)
+        assert mask["backbone"]["stem_bn1"]["scale"] is False
+        assert mask["backbone"]["stem_conv1"]["kernel"] is True
+        assert mask["plane_head"]["query_embed"] is True
+
+    def test_freeze_prefix(self):
+        params = fake_params()
+        mask = freeze_params_mask(params, frozen_prefixes=("backbone",))
+        assert mask["backbone"]["stem_conv1"]["kernel"] is False
+        assert mask["camera_head"]["trans"]["kernel"] is True
+
+    def test_frozen_params_get_zero_updates(self):
+        cfg = get_cfg()
+        params = fake_params()
+        tx = apply_freeze(build_optimizer(cfg, params), params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert float(jnp.abs(updates["backbone"]["stem_bn1"]["scale"]).sum()) == 0.0
+        assert float(jnp.abs(updates["backbone"]["stem_conv1"]["kernel"]).sum()) > 0.0
+
+
+class TestMultipliers:
+    def test_backbone_multiplier_scales_update(self):
+        cfg = get_cfg()
+        cfg.SOLVER.BACKBONE_MULTIPLIER = 0.1
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 0
+        params = fake_params()
+        tx = build_optimizer(cfg, params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        bb = float(jnp.abs(updates["backbone"]["stem_conv1"]["kernel"]).mean())
+        cam = float(jnp.abs(updates["camera_head"]["trans"]["kernel"]).mean())
+        assert abs(bb / cam - 0.1) < 1e-3
+
+    def test_global_clip(self):
+        cfg = get_cfg()
+        cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 0.01
+        params = fake_params()
+        tx = build_optimizer(cfg, params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 100.0, params)
+        # clip happens before adam; run two steps and just check finiteness
+        updates, _ = tx.update(grads, state, params)
+        total = sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(updates))
+        assert np.isfinite(total)
