@@ -239,6 +239,7 @@ def get_cfg() -> CfgNode:
     s.WARMUP_FACTOR = 1.0
     s.WARMUP_ITERS = 10
     s.WEIGHT_DECAY = 0.0001
+    s.WEIGHT_DECAY_NORM = 0.0
     s.WEIGHT_DECAY_EMBED = 0.0
     s.OPTIMIZER = "ADAMW"
     s.MOMENTUM = 0.9
@@ -266,6 +267,9 @@ def get_cfg() -> CfgNode:
 
     c.INPUT = CfgNode()
     c.INPUT.FORMAT = "RGB"
+    # fixed model input resolution (the reference hardcodes 480x640,
+    # planercnn_transforms.py:314); smaller sizes for smoke/CI runs
+    c.INPUT.IMAGE_SIZE = (480, 640)
 
     # ---------------- TEST ----------------
     t = c.TEST = CfgNode()

@@ -87,8 +87,11 @@ def safe_norm(v: jax.Array, axis: int = -1, keepdims: bool = False) -> jax.Array
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """L2 normalisation matching torch.nn.functional.normalize semantics,
-    with zero-safe gradients (returns 0 for zero vectors)."""
+    """L2 normalisation matching torch.nn.functional.normalize semantics
+    (exactly unit for |v| > eps), with zero-safe value and gradient at v == 0
+    via safe_norm. NOTE: the gradient magnitude scales as 1/max(|v|, eps);
+    raw regressor outputs that can sit near zero must pass a larger eps
+    (see camera_head._nquat) or the f32 global grad norm overflows."""
     n = safe_norm(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, eps)
 

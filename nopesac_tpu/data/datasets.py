@@ -65,12 +65,41 @@ def register_pair_dataset(dataset_name: str, json_rel: str, root: str | None = N
     )
 
 
+def _register_synthetic() -> None:
+    """Synthetic smoke splits: random planes + exact relative poses, no files
+    on disk. Lets the train/test CLIs run end-to-end on any machine
+    (`DATASETS.TRAIN '("synthetic_train",)'`); also the CI fixture source."""
+    for name, (n_pairs, seed) in {
+        "synthetic_train": (8, 0),
+        "synthetic_test": (4, 100),
+    }.items():
+        if name in DatasetCatalog:
+            continue
+
+        def gen(n_pairs=n_pairs, seed=seed):
+            from .synthetic import make_dataset
+
+            return make_dataset(n_pairs=n_pairs, n_planes=4, h=96, w=128, seed=seed)
+
+        DatasetCatalog.register(name, gen)
+        MetadataCatalog.set(
+            name,
+            json_file="",
+            image_root="",
+            evaluator_type="mp3d",
+            thing_classes=[m["name"] for m in PLANE_METADATA],
+            thing_colors=[m["color"] for m in PLANE_METADATA],
+            thing_dataset_id_to_contiguous_id={m["id"]: i for i, m in enumerate(PLANE_METADATA)},
+        )
+
+
 def register_builtin(root_override: str | None = None) -> None:
     for name, (kind, rel) in SPLITS.items():
         if name in DatasetCatalog:
             continue
         root = root_override if root_override else None
         register_pair_dataset(name, rel, root)
+    _register_synthetic()
 
 
 register_builtin()

@@ -64,7 +64,34 @@ def _classify(path_s: str) -> str:
     return "default"
 
 
+def _scale_per_leaf(multipliers: Dict[str, float]):
+    """Stateless transform multiplying each leaf's update by its group
+    multiplier. The label is derived from the leaf's own path at update time
+    (NOT from a captured params-shaped tree): when this transform runs inside
+    optax.masked (apply_freeze), frozen leaves arrive as MaskedNode subtrees
+    with zero leaves, and a captured full tree would fail to line up."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda p, u: u * multipliers[_classify(_path_str(p))], updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
+    """Single optimizer chain with per-leaf lr-multiplier / weight-decay
+    masks.
+
+    The naive port (optax.multi_transform with one AdamW per parameter
+    group) replicates the full optimizer HLO 6x over ~700 leaves, which
+    dominates XLA compile time on a single host core. One scale_by_adam +
+    masked decay + per-leaf final scale is mathematically identical to
+    torch per-group AdamW (update = -lr*mult * (adam(g) + wd*p)).
+    """
     s = cfg.SOLVER
     base_sched = make_lr_schedule(
         s.BASE_LR, s.STEPS, s.GAMMA, s.WARMUP_ITERS, s.WARMUP_FACTOR, s.MAX_ITER
@@ -83,28 +110,33 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         "sem_seg_head": s.WEIGHT_DECAY,
         "matcher": s.WEIGHT_DECAY,
         "default": s.WEIGHT_DECAY,
-        "norm": 0.0,  # d2 WEIGHT_DECAY_NORM default
+        "norm": s.get("WEIGHT_DECAY_NORM", 0.0),
         "embed": s.WEIGHT_DECAY_EMBED,
     }
 
-    def group_tx(label):
-        mult = multipliers[label]
-        wd = decays[label]
-        sched = lambda c: base_sched(c) * mult
-        if s.OPTIMIZER.upper() == "ADAMW":
-            return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
-        return optax.chain(
-            optax.trace(decay=s.MOMENTUM),
-            optax.add_decayed_weights(wd),
-            optax.scale_by_schedule(lambda c: -sched(c)),
-        )
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: _classify(_path_str(p)), params)
 
-    labels = jax.tree_util.tree_map_with_path(lambda p, _: _classify(_path_str(p)), params)
-    tx = optax.multi_transform({k: group_tx(k) for k in multipliers}, labels)
-
+    parts = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED and cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "full_model":
-        tx = optax.chain(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE), tx)
-    return tx
+        parts.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+
+    if s.OPTIMIZER.upper() == "ADAMW":
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    else:  # SGD with momentum
+        parts.append(optax.trace(decay=s.MOMENTUM))
+
+    # weight decay: one add_decayed_weights per DISTINCT nonzero decay value
+    # (normally just WEIGHT_DECAY with norm/embed masked out)
+    distinct_wd = sorted({v for v in decays.values() if v != 0.0})
+    for wd in distinct_wd:
+        mask = jax.tree_util.tree_map(lambda lb: decays[lb] == wd, labels)
+        parts.append(optax.add_decayed_weights(wd, mask=mask))
+
+    parts.append(optax.scale_by_schedule(lambda c: -base_sched(c)))
+    if any(m != 1.0 for m in multipliers.values()):
+        parts.append(_scale_per_leaf(multipliers))
+    return optax.chain(*parts)
 
 
 _FROZEN_BN_NAMES = ("bn1", "bn2", "bn3", "shortcut_bn", "stem_bn1")

@@ -61,15 +61,25 @@ def make_train_step(model, tx) -> Callable:
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard (SURVEY.md section 5): a non-finite loss or grad norm
+        # skips the update (params/opt state kept) instead of poisoning the
+        # run - the reference drops into pdb here (camera_head.py:186-187),
+        # which is not an option under jit.
+        grad_norm = optax.global_norm(grads)
+        ok = jnp.isfinite(total) & jnp.isfinite(grad_norm)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(ok, a, b_), new, old)
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_bs, state.batch_stats),
+            opt_state=keep(new_opt, state.opt_state),
         )
         metrics = dict(losses)
         metrics["total_loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return new_state, metrics
 
     return train_step

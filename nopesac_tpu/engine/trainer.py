@@ -88,7 +88,15 @@ class Trainer:
         self._dump_config()
 
         self.model = build_model_from_cfg(cfg)
-        self.mesh = make_mesh()
+        # the data mesh must evenly divide the global batch
+        import math
+
+        n_dev = len(jax.devices())
+        n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+        self.mesh = make_mesh(n_use)
+        if n_use != n_dev:
+            logger.warning("using %d of %d devices (batch %d not divisible)",
+                           n_use, n_dev, cfg.SOLVER.IMS_PER_BATCH)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
         self._train_dataset = dataset_list
         self._loader = None
@@ -137,11 +145,15 @@ class Trainer:
         batch = collate([init_mapper(d) for d in data])
         batch.pop("meta", None)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(self.cfg.SEED),
-             "dropout": jax.random.PRNGKey(self.cfg.SEED + 1)},
-            batch, jax.random.PRNGKey(0), method=self.model.init_all,
-        )
+        # jit the init: one compiled graph (persistently cacheable) instead of
+        # thousands of eager op dispatches (2-3x faster on a single host core)
+        variables = jax.jit(
+            lambda b: self.model.init(
+                {"params": jax.random.PRNGKey(self.cfg.SEED),
+                 "dropout": jax.random.PRNGKey(self.cfg.SEED + 1)},
+                b, jax.random.PRNGKey(0), method=self.model.init_all,
+            )
+        )(batch)
         params = variables["params"]
         if self.cfg.MODEL.WEIGHTS:
             params = self._load_weights(params, self.cfg.MODEL.WEIGHTS)

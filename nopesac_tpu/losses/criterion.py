@@ -247,3 +247,107 @@ def depth_loss(outputs, targets):
     pred = jax.image.resize(pred, gt.shape, method="bilinear")
     mask = (gt > 1e-4).astype(pred.dtype)
     return jnp.sum(jnp.abs(pred - gt) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def depth_loss_siamese(outputs, targets):
+    """Per-view masked L1 depth, averaged (reference computes per view)."""
+    gt = targets["depth"]  # [2B, H, W]
+    b2 = gt.shape[0]
+    pred = outputs["pixel_depth"][..., 0]
+    pred = jax.image.resize(pred, gt.shape, method="bilinear")
+    mask = (gt > 1e-4).astype(pred.dtype)
+    err = (jnp.abs(pred - gt) * mask).reshape(2, b2 // 2, -1).sum(axis=(1, 2))
+    cnt = jnp.maximum(mask.reshape(2, b2 // 2, -1).sum(axis=(1, 2)), 1.0)
+    return jnp.mean(err / cnt)
+
+
+# ---------------------------------------------------------------------------
+# siamese (two views concatenated along batch) variant
+# ---------------------------------------------------------------------------
+
+def detection_losses_siamese(
+    outputs: Dict,
+    targets: Dict,
+    match: jnp.ndarray,  # [2B, NQ]
+    eos_coef: float = 0.1,
+    aux: bool = False,
+    center_on: bool = True,
+    param_on: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Both views run as ONE 2B batch (view0 = first half), with per-view
+    loss normalisation then averaging, exactly matching the reference's
+    per-view criterion calls + (l0+l1)/2 (siamese_planeTR.py:233-235).
+
+    One traced graph instead of two - halves the XLA compile cost of the
+    detection loss and doubles the matmul batch on the MXU.
+    """
+    losses = {}
+    logits = outputs["pred_logits"]  # [2B, NQ, C+1]
+    b2, nq, nc1 = logits.shape
+    b = b2 // 2
+    matched = match >= 0
+    tgt_idx = jnp.maximum(match, 0)
+    matched_f = matched.astype(logits.dtype)
+
+    def per_view_sum(x):  # [2B, ...] -> [2]
+        return jnp.sum(x.reshape(2, b, -1), axis=(1, 2))
+
+    # per-view normalisers (criterion.py:287-294; clamp >= 1)
+    num_masks_v = jnp.maximum(per_view_sum(targets["gt_valid"].astype(jnp.float32)), 1.0)
+    num_matched_v = jnp.maximum(per_view_sum(matched_f), 1.0)
+
+    # ---- labels
+    target_classes = jnp.where(matched, 0, nc1 - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    class_w = jnp.where(matched, 1.0, eos_coef)
+    ce_v = per_view_sum(nll * class_w) / per_view_sum(class_w)
+    losses["loss_ce"] = jnp.mean(ce_v)
+
+    # ---- masks
+    gt_masks = targets["gt_masks"]
+    gh, gw = gt_masks.shape[-2:]
+    src = outputs["pred_mask_logits"]
+    src_up = jax.image.resize(src, (b2, nq, gh, gw), method="bilinear")
+    tgt = jnp.take_along_axis(gt_masks, tgt_idx[:, :, None, None], axis=1).astype(src.dtype)
+
+    prob = jax.nn.sigmoid(src_up)
+    ce = _bce_logits(src_up, tgt)
+    p_t = prob * tgt + (1 - prob) * (1 - tgt)
+    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
+    focal_per = jnp.mean(alpha_t * ce * ((1 - p_t) ** 2), axis=(2, 3))
+    losses["loss_mask"] = jnp.mean(per_view_sum(focal_per * matched_f) / num_masks_v)
+
+    inter = jnp.sum(prob * tgt, axis=(2, 3))
+    denom = jnp.sum(prob, axis=(2, 3)) + jnp.sum(tgt, axis=(2, 3))
+    dice = 1 - (2 * inter + 1) / (denom + 1)
+    losses["loss_dice"] = jnp.mean(per_view_sum(dice * matched_f) / num_masks_v)
+
+    # ---- centers
+    if center_on and "pred_centers" in outputs:
+        src_c = outputs["pred_centers"]
+        tgt_c = jnp.take_along_axis(targets["gt_centers"], tgt_idx[..., None], axis=1)
+        dist = safe_norm(tgt_c - src_c, axis=-1)
+        losses["loss_center_ins"] = jnp.mean(per_view_sum(dist * matched_f) / num_matched_v)
+        if not aux and "pixel_centers" in outputs:
+            pc = outputs["pixel_centers"]
+            pc = jax.image.resize(pc, (b2, gh, gw, 2), method="bilinear")
+            pd = safe_norm(jnp.abs(targets["gt_pixel_centers"] - pc), axis=-1)
+            losses["loss_center_pixel"] = jnp.mean(pd)
+
+    # ---- params
+    if param_on and "pred_params" in outputs:
+        src_p = outputs["pred_params"]
+        tgt_p = jnp.take_along_axis(targets["gt_params"], tgt_idx[..., None], axis=1)
+        l1 = jnp.sum(jnp.abs(tgt_p - src_p), axis=-1)
+        losses["loss_param_l1"] = jnp.mean(per_view_sum(l1 * matched_f) / num_matched_v)
+
+        na = safe_norm(src_p, axis=-1)
+        nb = safe_norm(tgt_p, axis=-1)
+        cos = 1 - jnp.sum(src_p * tgt_p, axis=-1) / jnp.maximum(na * nb, 1e-8)
+        losses["loss_param_cos"] = jnp.mean(per_view_sum(cos * matched_f) / num_matched_v)
+
+        if not aux:
+            losses["loss_q"] = _q_loss(src_p, tgt_p, tgt, matched_f, targets)
+
+    return losses

@@ -33,13 +33,18 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     def solve_row(cur_row, state):
         u, v, col4row, row4col = state
 
-        # --- Dijkstra from cur_row over columns
+        # --- Dijkstra from cur_row over columns. The scan adds one column to
+        # SC per iteration, so > n iterations is impossible for well-formed
+        # costs; the counter bound is pure insurance against numerical
+        # corner cases cycling the loop (a wrong-but-finite assignment beats
+        # a hung train step).
         def dij_cond(s):
-            _, _, _, _, sink, _, _ = s
-            return sink < 0
+            _, _, _, _, sink, _, _, it = s
+            return (sink < 0) & (it <= n)
 
         def dij_body(s):
-            i, min_val, spc, sc, sink, path, sr = s
+            i, min_val, spc, sc, sink, path, sr, it = s
+            it = it + 1
             sr = sr.at[i].set(True)
             # relax all columns not in SC
             r = min_val + cost[i] - u[i] - v  # [N]
@@ -53,7 +58,7 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
             sc = sc.at[j].set(True)
             sink = jnp.where(row4col[j] < 0, j, jnp.int32(-1))
             i = jnp.where(sink < 0, row4col[j], i)
-            return i, min_val, spc, sc, sink, path, sr
+            return i, min_val, spc, sc, sink, path, sr, it
 
         init = (
             cur_row.astype(jnp.int32),
@@ -63,8 +68,12 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
             jnp.int32(-1),  # sink
             jnp.full((n,), -1, jnp.int32),  # predecessor row per col
             jnp.zeros((n,), bool),  # SR
+            jnp.int32(0),  # iteration bound (insurance)
         )
-        _, min_val, spc, sc, sink, path, sr = lax.while_loop(dij_cond, dij_body, init)
+        _, min_val, spc, sc, sink, path, sr, _ = lax.while_loop(dij_cond, dij_body, init)
+        # if the bound tripped (sink still -1), fall back to any free column
+        free = jnp.argmin(jnp.where(row4col >= 0, 1, 0)).astype(jnp.int32)
+        sink = jnp.where(sink < 0, free, sink)
 
         # --- dual updates
         u = u.at[cur_row].add(min_val)
@@ -74,19 +83,20 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
 
         # --- augment along the alternating path
         def aug_cond(s):
-            _, _, _, done = s
-            return ~done
+            _, _, _, done, it = s
+            return (~done) & (it <= n)  # bound: alternating path length <= n
 
         def aug_body(s):
-            j, col4row, row4col, _ = s
-            i = path[j]
+            j, col4row, row4col, _, it = s
+            i = jnp.where(path[j] >= 0, path[j], cur_row)  # corrupt path guard
             row4col = row4col.at[j].set(i)
             nxt = col4row[i]
             col4row = col4row.at[i].set(j)
-            return nxt, col4row, row4col, i == cur_row
+            return nxt, col4row, row4col, i == cur_row, it + 1
 
-        _, col4row, row4col, _ = lax.while_loop(
-            aug_cond, aug_body, (sink, col4row, row4col, jnp.array(False))
+        _, col4row, row4col, _, _ = lax.while_loop(
+            aug_cond, aug_body,
+            (sink, col4row, row4col, jnp.array(False), jnp.int32(0)),
         )
         return u, v, col4row, row4col
 
@@ -109,6 +119,17 @@ def hungarian_device(cost_padded: jnp.ndarray, num_valid_cols: jnp.ndarray) -> j
     match[b, i] = assigned column, or -1 if row i got a dummy column.
     """
     b, n, _ = cost_padded.shape
+    # Sanitize: non-finite entries (NaN propagated from a diverged loss, inf
+    # from masked costs) would make the Dijkstra while_loop in lap_jv cycle
+    # forever (no reachable sink). Replace them with a large finite value so
+    # the solver always terminates; the surrounding step's NaN guard is then
+    # responsible for reporting/skipping the bad update.
+    finite = jnp.isfinite(cost_padded)
+    finite_max = jnp.max(jnp.where(finite, cost_padded, -jnp.inf), axis=(1, 2))
+    finite_max = jnp.where(jnp.isfinite(finite_max), finite_max, 0.0)
+    big = (jnp.abs(finite_max) + 1.0) * 2.0 + 1e3
+    cost_padded = jnp.where(finite, cost_padded, big[:, None, None])
+
     col_valid = jnp.arange(n)[None, :] < num_valid_cols[:, None]  # [B, N]
     real_max = jnp.max(
         jnp.where(col_valid[:, None, :], cost_padded, -jnp.inf), axis=(1, 2)

@@ -32,6 +32,17 @@ from .layers import MLP, ConvBN, ConvGN, max_pool_2x2, upsample_nearest, xavier_
 Dtype = Any
 
 
+def _nquat(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion normalisation for regressor outputs: exactly unit whenever
+    |q| > 1e-3, with the normalisation gradient bounded at ~1e3.
+
+    Raw Dense outputs sit near zero at init (zero bias + relu-dead features),
+    and the torch-default eps=1e-12 let O(1e12) gradients through `rots`
+    overflow the f32 global grad norm (observed 1e23). |q| <= 1e-3 outputs
+    are degenerate under either convention."""
+    return normalize(q, eps=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # geo sequence construction (pure functions)
 # ---------------------------------------------------------------------------
@@ -194,10 +205,16 @@ class PlaneCameraHead(nn.Module):
             self.trans_score_reg = nn.Dense(1, dtype=self.dtype, kernel_init=xavier_uniform)
 
     # -- Pose Regression Network (initial pose) ---------------------------
-    def pixel_camera(self, features1, features2, train: bool = False):
-        """Initial pose from the 4D correlation volume (camera_head.py:642-683)."""
-        x1 = self.convs_backbone(self.pixel_decoder(features1), train)
-        x2 = self.convs_backbone(self.pixel_decoder(features2), train)
+    def pixel_camera(self, features_cat, train: bool = False):
+        """Initial pose from the 4D correlation volume (camera_head.py:642-683).
+
+        features_cat: feature dict with BOTH views concatenated along batch
+        (view0 = first half) - the siamese towers share weights, so one pass
+        at 2B halves the compile cost and doubles MXU occupancy.
+        """
+        x = self.convs_backbone(self.pixel_decoder(features_cat), train)
+        b = x.shape[0] // 2
+        x1, x2 = x[:b], x[b:]
         aff = compute_corr_softmax(x1, x2)
 
         tf = self.convs_trans(aff, train)
@@ -209,7 +226,7 @@ class PlaneCameraHead(nn.Module):
         rots_feat = nn.relu(self.fc_rots(rf))
 
         trans = self.trans(trans_feat)
-        rot = normalize(self.rots(rots_feat))
+        rot = _nquat(self.rots(rots_feat))
         return {"tran": trans, "rot": rot, "tran_feat": trans_feat, "rot_feat": rots_feat}
 
     # -- Arbitrary Initialization Module (pose auto-encoders) -------------
@@ -218,7 +235,7 @@ class PlaneCameraHead(nn.Module):
         sign-canonicalised; returns (pred_rot, rot_feat, canonical_input)."""
         input_rot = jax.lax.stop_gradient(canonicalize_quat_sign(input_rot))
         rot_feat = nn.relu(self.rot_emb_proj(input_rot))
-        pred_rot = normalize(self.rots(rot_feat))
+        pred_rot = _nquat(self.rots(rot_feat))
         return pred_rot, rot_feat, input_rot
 
     def trans_rec(self, input_trans):
@@ -279,7 +296,7 @@ class PlaneCameraHead(nn.Module):
         fused_rot_feat = nn.relu(self.decoder_rot2(jnp.concatenate([init_rf, geo_rot], -1)))
         fused_tran_feat = nn.relu(self.decoder_tran2(jnp.concatenate([init_tf, geo_tran], -1)))
 
-        rots_all = normalize(self.rots(fused_rot_feat))  # [B, M, 4]
+        rots_all = _nquat(self.rots(fused_rot_feat))  # [B, M, 4]
         rots_all = jnp.concatenate([initial_rot[:, None, :], rots_all], axis=1)  # [B, M+1, 4]
         trans_all = self.trans(fused_tran_feat)  # [B, M, 3]
         trans_all = jnp.concatenate([initial_trans[:, None, :], trans_all], axis=1)
@@ -353,10 +370,10 @@ class PlaneCameraHead(nn.Module):
             "normal_l2_sum": jnp.sum(normal_l2, axis=-1),  # [B, M+1]
             "l2_dist_sum": jnp.sum(l2_dist * matching_mask, axis=-1),
             "tran_soft": self.trans(fused_tran_soft),
-            "rot_soft": normalize(self.rots(fused_rot_soft)),
+            "rot_soft": _nquat(self.rots(fused_rot_soft)),
             "tran_avg_excl": self.trans(fused_tran_avg_excl),
-            "rot_avg_excl": normalize(self.rots(fused_rot_avg_excl)),
+            "rot_avg_excl": _nquat(self.rots(fused_rot_avg_excl)),
             "tran_avg_incl": self.trans(fused_tran_avg_incl),
-            "rot_avg_incl": normalize(self.rots(fused_rot_avg_incl)),
+            "rot_avg_incl": _nquat(self.rots(fused_rot_avg_incl)),
         }
         return out

@@ -62,8 +62,11 @@ class MatchingHead(nn.Module):
     d_model: int = 256
     gnn_pairs: int = 9
     dtype: Dtype = jnp.float32
-    # None = auto (Pallas kernel on TPU, lax.fori_loop elsewhere)
-    use_pallas_sinkhorn: Optional[bool] = None
+    # Opt-in: the VMEM-resident Pallas kernel (ops/sinkhorn_pallas.py) is
+    # numerically identical but Mosaic compilation is pathologically slow on
+    # remote-compile backends (axon tunnel: ~70s for a trivial kernel), so
+    # the scan-lowered lax implementation is the default everywhere.
+    use_pallas_sinkhorn: Optional[bool] = False
 
     @nn.compact
     def __call__(

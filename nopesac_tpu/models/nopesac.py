@@ -117,22 +117,32 @@ class PlaneTRNopeSAC(nn.Module):
 
     def __call__(self, images0, images1, train: bool = False):
         """Joint raw forward over an image pair (used for compile checks)."""
-        feats0, out0, qf0 = self.detect(images0, train)
-        feats1, out1, qf1 = self.detect(images1, train)
-        result = {"view0": out0, "view1": out1}
+        b = images0.shape[0]
+        feats, out, qf = self.detect(jnp.concatenate([images0, images1], axis=0), train)
+        split = lambda t: jax.tree_util.tree_map(lambda x: x[:b], t)
+        result = {"view0": split(out),
+                  "view1": jax.tree_util.tree_map(lambda x: x[b:], out)}
         if self.camera_on:
-            result["camera_init"] = self.camera_head.pixel_camera(feats0, feats1, train)
+            result["camera_init"] = self.camera_head.pixel_camera(feats, train)
         return result
 
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def _detection_branch(self, outputs, targets, num_masks):
-        """Hungarian match + (deep-supervised) detection losses for one view.
+    def train_forward(self, batch: Dict, rng: jax.Array):
+        """Full training forward: detection + matching + 5-branch camera loss
+        zoo. Spec: siamese_planeTR.py:208-299 + camera_head.py:140-344.
 
-        Returns (weighted_losses, final_level_match). Spec:
-        criterion.py:269-309 + weight application siamese_planeTR.py:329-334.
+        TPU layout: both views run as ONE 2B batch through the shared
+        backbone/head/criterion, and all pose-refinement branches run as ONE
+        K*B refine call - one traced graph each instead of 2 (resp. 4),
+        halving/quartering XLA compile cost and feeding the MXU bigger
+        batches. Returns a dict of scalar losses (already weighted).
         """
+        losses: Dict[str, jnp.ndarray] = {}
+        t0, t1 = batch["targets0"], batch["targets1"]
+        b = batch["image0"].shape[0]
+
         mw = {
             "cost_class": 1.0,
             "cost_mask": self.mask_weight,
@@ -153,46 +163,36 @@ class PlaneTRNopeSAC(nn.Module):
             "loss_mask": self.mask_weight,
             "loss_dice": self.dice_weight,
         }
-        match = CR.match_planes(outputs, targets, mw)
-        losses = {}
+
+        images_cat = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
+        targets_cat = jax.tree_util.tree_map(
+            lambda a, c: jnp.concatenate([a, c], axis=0), t0, t1)
+
+        feats_cat, out_cat, qf_cat = self.detect(images_cat, train=True)
+
+        match_cat = CR.match_planes(out_cat, targets_cat, mw)
         if self.loss_detection_on:
-            raw = CR.detection_losses(
-                outputs, targets, match, num_masks, eos_coef=self.no_object_weight)
-            if self.depth_on and "pixel_depth" in outputs:
-                raw["loss_depth_pixel"] = CR.depth_loss(outputs, targets)
+            raw = CR.detection_losses_siamese(
+                out_cat, targets_cat, match_cat, eos_coef=self.no_object_weight)
+            if self.depth_on and "pixel_depth" in out_cat:
+                raw["loss_depth_pixel"] = CR.depth_loss_siamese(out_cat, targets_cat)
             for k, v in raw.items():
                 losses[k] = v * weight_dict[k]
-            for i, aux in enumerate(outputs["aux_outputs"]):
-                match_aux = CR.match_planes(aux, targets, mw)
-                raw_aux = CR.detection_losses(
-                    aux, targets, match_aux, num_masks,
+            for i, aux in enumerate(out_cat["aux_outputs"]):
+                match_aux = CR.match_planes(aux, targets_cat, mw)
+                raw_aux = CR.detection_losses_siamese(
+                    aux, targets_cat, match_aux,
                     eos_coef=self.no_object_weight, aux=True)
                 for k, v in raw_aux.items():
                     losses[f"{k}_{i}"] = v * weight_dict[k]
-        return losses, match
 
-    def train_forward(self, batch: Dict, rng: jax.Array):
-        """Full training forward: detection + matching + 5-branch camera loss
-        zoo. Spec: siamese_planeTR.py:208-299 + camera_head.py:140-344.
-
-        Returns a dict of scalar losses (already weighted). Sum them for the
-        total objective.
-        """
-        losses: Dict[str, jnp.ndarray] = {}
-        t0, t1 = batch["targets0"], batch["targets1"]
-
-        feats0, out0, qf0 = self.detect(batch["image0"], train=True)
-        feats1, out1, qf1 = self.detect(batch["image1"], train=True)
-
-        l0, match0 = self._detection_branch(out0, t0, jnp.maximum(jnp.sum(t0["gt_valid"].astype(jnp.float32)), 1.0))
-        l1, match1 = self._detection_branch(out1, t1, jnp.maximum(jnp.sum(t1["gt_valid"].astype(jnp.float32)), 1.0))
-        if self.loss_detection_on:
-            for k in l0:
-                losses[k] = (l0[k] + l1[k]) / 2.0
+        match0, match1 = match_cat[:b], match_cat[b:]
+        qf0, qf1 = qf_cat[:b], qf_cat[b:]
 
         gt_pose = batch["gt_pose"]  # [B, 7], quat already sign-canonical
-        params0 = out0["pred_params"] if "pred_params" in out0 else None
-        params1 = out1["pred_params"] if "pred_params" in out1 else None
+        params_cat = out_cat.get("pred_params")
+        params0 = params_cat[:b] if params_cat is not None else None
+        params1 = params_cat[b:] if params_cat is not None else None
 
         gt_corr = None
         if self.embedding_on and self.matcher_on:
@@ -214,7 +214,7 @@ class PlaneTRNopeSAC(nn.Module):
             return losses
 
         # ---- initial pose (PixelCameraHead) + its loss
-        init = self.camera_head.pixel_camera(feats0, feats1, train=True)
+        init = self.camera_head.pixel_camera(feats_cat, train=True)
         lt, lr = CL.camera_pose_loss(init["tran"], init["rot"], gt_pose)
         losses["loss_tran_pixelReg"] = lt * self.initial_cam_weight
         losses["loss_rot_pixelReg"] = lr * self.initial_cam_weight
@@ -247,44 +247,54 @@ class PlaneTRNopeSAC(nn.Module):
             batch["corr_idx1"], batch["corr_idx2"], batch["corr_valid"],
         )
 
-        def run_refine_branch(base_tran, base_rot, base_tran_feat, base_rot_feat,
-                              geo_local, seq_valid, num_m, suffix, weight):
-            """One refinement branch (forawrd_refineLoop, camera_head.py:346-398).
-            The base pose is detached for the geo warp / sig computation."""
-            dt_tran = jax.lax.stop_gradient(base_tran)
-            dt_rot = jax.lax.stop_gradient(base_rot)
-            geo_global = warp_geo_sequence(geo_local, dt_tran, dt_rot)
-            sig_seq = compute_sig_seq(geo_local, dt_tran, dt_rot)
-            ref = self.camera_head.refine(
-                base_tran_feat, base_rot_feat, base_tran, base_rot,
-                geo_local, seq_valid, sig_seq, geo_global, clamp_scores=True,
-            )
-            return CL.refine_losses(ref, gt_pose, seq_valid, num_m, suffix, weight)
-
-        # branch 1: initial pose + GT params
-        losses.update(run_refine_branch(
-            init["tran"], init["rot"], init["tran_feat"], init["rot_feat"],
-            geo_gt, seq_valid_gt, num_gt, "initCamRef", self.plane_cam_weight))
-        # branch 2: reconstructed pose + GT params
+        # assemble all refinement branches (forawrd_refineLoop called once per
+        # branch in the reference, camera_head.py:259-321); here they run as
+        # ONE K*B refine call with per-branch loss weights
+        branches = [dict(tran=init["tran"], rot=init["rot"],
+                         tf=init["tran_feat"], rf=init["rot_feat"],
+                         geo=geo_gt, valid=seq_valid_gt, num=num_gt,
+                         suffix="initCamRef", weight=self.plane_cam_weight)]
         if self.cam_rec_on:
-            losses.update(run_refine_branch(
-                rec_tran, rec_rot, rec_tran_feat, rec_rot_feat,
-                geo_gt, seq_valid_gt, num_gt, "initRecCamRef", self.plane_cam_weight))
-
-        # branches 3-4: predicted plane params via the GT corr assignment
+            branches.append(dict(tran=rec_tran, rot=rec_rot,
+                                 tf=rec_tran_feat, rf=rec_rot_feat,
+                                 geo=geo_gt, valid=seq_valid_gt, num=num_gt,
+                                 suffix="initRecCamRef", weight=self.plane_cam_weight))
         if gt_corr is not None and params0 is not None:
             assign = gt_corr[:, :-1, :-1].astype(self.dtype)
             geo_pred, seq_valid_pr, num_pr = build_geo_sequence(
                 params0, params1, assign, self.num_queries)
-            losses.update(run_refine_branch(
-                init["tran"], init["rot"], init["tran_feat"], init["rot_feat"],
-                geo_pred, seq_valid_pr, num_pr, "initCamRef_Aux",
-                self.plane_cam_weight_predplane))
+            branches.append(dict(tran=init["tran"], rot=init["rot"],
+                                 tf=init["tran_feat"], rf=init["rot_feat"],
+                                 geo=geo_pred, valid=seq_valid_pr, num=num_pr,
+                                 suffix="initCamRef_Aux",
+                                 weight=self.plane_cam_weight_predplane))
             if self.cam_rec_on:
-                losses.update(run_refine_branch(
-                    rec_tran, rec_rot, rec_tran_feat, rec_rot_feat,
-                    geo_pred, seq_valid_pr, num_pr, "initRecCamRef_Aux",
-                    self.plane_cam_weight_predplane))
+                branches.append(dict(tran=rec_tran, rot=rec_rot,
+                                     tf=rec_tran_feat, rf=rec_rot_feat,
+                                     geo=geo_pred, valid=seq_valid_pr, num=num_pr,
+                                     suffix="initRecCamRef_Aux",
+                                     weight=self.plane_cam_weight_predplane))
+
+        cat = lambda key: jnp.concatenate([br[key] for br in branches], axis=0)
+        tran_c, rot_c = cat("tran"), cat("rot")
+        tf_c, rf_c = cat("tf"), cat("rf")
+        geo_c, valid_c = cat("geo"), cat("valid")
+
+        # base pose detached for the geo warp / sign trick (camera_head.py:354-368)
+        dt_tran = jax.lax.stop_gradient(tran_c)
+        dt_rot = jax.lax.stop_gradient(rot_c)
+        geo_global = warp_geo_sequence(geo_c, dt_tran, dt_rot)
+        sig_seq = compute_sig_seq(geo_c, dt_tran, dt_rot)
+        ref = self.camera_head.refine(
+            tf_c, rf_c, tran_c, rot_c, geo_c, valid_c, sig_seq, geo_global,
+            clamp_scores=True,
+        )
+
+        for k, br in enumerate(branches):
+            sl = lambda x: x[k * b:(k + 1) * b]
+            ref_k = {key: sl(val) for key, val in ref.items()}
+            losses.update(CL.refine_losses(
+                ref_k, gt_pose, br["valid"], br["num"], br["suffix"], br["weight"]))
 
         return losses
 
@@ -384,28 +394,31 @@ class PlaneTRNopeSAC(nn.Module):
         Spec: siamese_planeTR.py:338-450 + camera_head.py:400-640
         (inference_Joint), fixed-shape and batched.
         """
-        feats0, out0, qf0 = self.detect(images0, train=False)
-        feats1, out1, qf1 = self.detect(images1, train=False)
+        b = images0.shape[0]
+        images_cat = jnp.concatenate([images0, images1], axis=0)
+        feats_cat, out_cat, qf_cat = self.detect(images_cat, train=False)
 
-        sel0 = self.select_planes(out0, out_h, out_w)
-        sel1 = self.select_planes(out1, out_h, out_w)
+        sel_cat = self.select_planes(out_cat, out_h, out_w)
+        sel0 = jax.tree_util.tree_map(lambda x: x[:b], sel_cat)
+        sel1 = jax.tree_util.tree_map(lambda x: x[b:], sel_cat)
+        qf0, qf1 = qf_cat[:b], qf_cat[b:]
 
         result = {"view0": sel0, "view1": sel1}
         if self.depth_on:
-            result["depth0"] = out0.get("pixel_depth")
-            result["depth1"] = out1.get("pixel_depth")
+            pd = out_cat.get("pixel_depth")
+            result["depth0"] = pd[:b] if pd is not None else None
+            result["depth1"] = pd[b:] if pd is not None else None
         if not self.camera_on:
             return result
 
         cameras = {}
-        b = images0.shape[0]
         cameras["camera_zero"] = {
             "tran": jnp.zeros((b, 3), self.dtype),
             "rot": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], self.dtype), (b, 1)),
         }
 
         # initial pose (sign-canonicalised, camera_head.py:436-437)
-        init = self.camera_head.pixel_camera(feats0, feats1, train=False)
+        init = self.camera_head.pixel_camera(feats_cat, train=False)
         init_rot = canonicalize_quat_sign(init["rot"])
         init_tran = init["tran"]
         cameras["camera_init"] = {"tran": init_tran, "rot": init_rot}

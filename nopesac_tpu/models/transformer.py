@@ -51,6 +51,10 @@ class MultiHeadAttention(nn.Module):
             # key_mask: [B, S] True = keep
             logits = jnp.where(key_mask[:, None, None, :], logits, jnp.asarray(-1e9, self.dtype))
         attn = nn.softmax(logits, axis=-1)
+        if key_mask is not None:
+            # hard re-zero: cuts the softmax-VJP backward path through masked
+            # keys (fused VJP NaNs under XLA for fully-masked rows)
+            attn = jnp.where(key_mask[:, None, None, :], attn, jnp.asarray(0.0, self.dtype))
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhls,bshd->blhd", attn, vh).reshape(b, lq, self.d_model)
         return nn.Dense(self.d_model, use_bias=self.use_bias, dtype=self.dtype,
@@ -225,11 +229,20 @@ class GNNLayer(nn.Module):
         k = proj(source, "k_proj")
         v = proj(source, "v_proj")
 
-        qk = jnp.einsum("blhd,bshd->blsh", q, k)
+        logits = jnp.einsum("blhd,bshd->blsh", q, k) / jnp.sqrt(dh).astype(q.dtype)
+        keep = None
         if x_mask is not None and source_mask is not None:
             keep = x_mask[:, :, None, None] & source_mask[:, None, :, None]
-            qk = jnp.where(keep, qk, jnp.asarray(-1e12, qk.dtype))
-        attn = nn.softmax(qk / jnp.sqrt(dh).astype(qk.dtype), axis=2)
+            logits = jnp.where(keep, logits, jnp.asarray(-1e9, logits.dtype))
+        attn = nn.softmax(logits, axis=2)
+        if keep is not None:
+            # Re-zero masked weights AFTER the softmax. Numerically the
+            # softmax already assigns them ~0, but this hard where() (a) cuts
+            # the backward path through fully-masked rows, whose fused
+            # softmax-VJP otherwise NaNs under XLA (observed on CPU with >=2
+            # scanned layers), and (b) makes masked rows exactly zero instead
+            # of uniform garbage that would feed the next layer.
+            attn = jnp.where(keep, attn, jnp.asarray(0.0, attn.dtype))
         msg = jnp.einsum("blsh,bshd->blhd", attn, v).reshape(b, l, self.d_model)
         msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="merge")(msg)

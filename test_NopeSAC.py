@@ -24,10 +24,19 @@ logger = logging.getLogger(__name__)
 def main(args):
     cfg = setup(args)
 
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import nopesac_tpu.data.datasets  # noqa: F401
     from nopesac_tpu.engine.trainer import Trainer
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE))
     trainer.resume_or_load(resume=args.resume)
     results = trainer.test()
     for k, v in (results or {}).items():

@@ -17,4 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent compilation cache: the first full-suite run pays the (single
+# core) XLA compile cost; reruns start in seconds
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, _REPO)

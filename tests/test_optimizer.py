@@ -92,3 +92,21 @@ class TestMultipliers:
         updates, _ = tx.update(grads, state, params)
         total = sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(updates))
         assert np.isfinite(total)
+
+    def test_multiplier_with_freeze_mask(self):
+        """Regression: _scale_per_leaf inside optax.masked (apply_freeze) --
+        frozen leaves arrive as MaskedNode and a captured params-shaped
+        multiplier tree fails to line up (caught driving train_NopeSAC.py
+        with Base.yaml's BACKBONE_MULTIPLIER)."""
+        cfg = get_cfg()
+        cfg.SOLVER.BACKBONE_MULTIPLIER = 0.1
+        params = fake_params()
+        tx = apply_freeze(build_optimizer(cfg, params), params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        # frozen bn leaves get exact zeros, backbone is scaled 0.1x vs camera
+        assert float(jnp.abs(updates["backbone"]["stem_bn1"]["scale"]).sum()) == 0.0
+        bb = float(jnp.abs(updates["backbone"]["stem_conv1"]["kernel"]).mean())
+        cam = float(jnp.abs(updates["camera_head"]["trans"]["kernel"]).mean())
+        assert abs(bb / cam - 0.1) < 1e-3

@@ -77,6 +77,13 @@ def main(args):
 
     import jax
 
+    # persistent compilation cache: the first run pays the XLA compile cost,
+    # later runs (and resume) start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.num_machines > 1:
         jax.distributed.initialize(
             coordinator_address=None if args.dist_url == "auto" else args.dist_url,
@@ -93,7 +100,7 @@ def main(args):
     if jax.process_index() == 0:
         copy_all_code(cfg.OUTPUT_DIR)
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE))
     if args.eval_only:
         trainer.resume_or_load(resume=args.resume)
         return trainer.test()
