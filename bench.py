@@ -57,25 +57,57 @@ def main():
     jax.block_until_ready(variables)
     t0 = _t("init (bs=1 compile)", t0)
 
+    # Measurement honesty on remote-execution backends (axon tunnel):
+    #   * params travel as an ARGUMENT - a closed-over param tree gets
+    #     embedded as HLO constants (~240MB serialized) and the tunnel
+    #     rejects the upload (HTTP 413);
+    #   * block_until_ready returns EARLY through the tunnel, so timing is
+    #     forced by chaining each call's input on the previous call's output
+    #     (feedback scalar) and fetching the final VALUE to host;
+    #   * every call therefore also sees distinct input values, defeating
+    #     any (program, args) result caching.
     @jax.jit
-    def infer(i0, i1):
-        out = model.apply(variables, i0, i1, method=model.inference, out_h=h, out_w=w)
+    def infer(v, i0, i1, feedback):
+        i0 = i0 + feedback  # serialises successive calls
+        out = model.apply(v, i0, i1, method=model.inference, out_h=h, out_w=w)
         cam = out["cameras"]["camera"]
-        return cam["tran"], cam["rot"], out["view0"]["valid"], out["assignment"]
+        # reduce EVERYTHING the evaluator consumes (evaluation/postprocess.py)
+        # into the feedback scalar so nothing is dead-code-eliminated
+        parts = [
+            cam["tran"].sum(), cam["rot"].sum(),
+            out["view0"]["masks"].sum().astype(jnp.float32),
+            out["view1"]["masks"].sum().astype(jnp.float32),
+            out["view0"]["score"].sum(), out["view1"]["score"].sum(),
+            out["view0"]["params"].sum(), out["view1"]["params"].sum(),
+            out["view0"]["centers"].sum(), out["assignment"].sum(),
+        ]
+        fb = sum(p.astype(jnp.float32) for p in parts)
+        return fb * jnp.asarray(1e-20, jnp.float32)
 
     # warmup / compile
-    res = infer(img0, img1)
-    jax.block_until_ready(res)
+    fb = jnp.asarray(0.0, jnp.float32)
+    fb = infer(variables, img0, img1, fb)
+    _ = float(fb)
     t0 = _t("bs=8 compile + warmup", t0)
 
-    iters = 20
+    # measure the tunnel round-trip to subtract it from the chain total
+    trivial = jax.jit(lambda x: x + 1.0)
+    _ = float(trivial(fb))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = infer(img0, img1)
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
+    for _i in range(5):
+        _ = float(trivial(fb))
+    rtt = (time.perf_counter() - t0) / 5
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fb = infer(variables, img0, img1, fb)
+    assert np.isfinite(float(fb))  # forces the whole chain
+    dt = time.perf_counter() - t0 - rtt
 
     pairs_per_sec = batch * iters / dt
+    print(f"[bench] rtt={rtt*1e3:.1f}ms chain={dt:.3f}s "
+          f"per-call={dt/iters*1e3:.2f}ms", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "mp3d_pair_inference_throughput",
         "value": round(pairs_per_sec, 2),
