@@ -16,13 +16,27 @@ import numpy as np
 from ..utils import rle as rle_util
 
 
+def masks_from_seg(seg_ids: np.ndarray, gate: np.ndarray,
+                   query_ids: np.ndarray) -> np.ndarray:
+    """Rebuild per-query boolean masks from the compact device outputs.
+
+    The device (PlaneTRNopeSAC.select_planes) returns an argmax segmentation
+    map + probability gate instead of [NQ, H, W] masks (50x less HBM traffic
+    and host transfer); mask_q == (seg_ids == q) & gate.
+    """
+    return (seg_ids[None, :, :] == np.asarray(query_ids)[:, None, None]) \
+        & gate[None, :, :]
+
+
 def _compact_view(view_out: Dict, b: int, image_id: str, file_name: str,
                   height: int, width: int) -> Dict:
     valid = np.asarray(view_out["valid"][b])
     keep = np.nonzero(valid)[0]  # ascending original query order
     scores = np.asarray(view_out["score"][b])[keep]
     params = np.asarray(view_out["params"][b])[keep]
-    masks = np.asarray(view_out["masks"][b])[keep].astype(np.uint8)
+    masks = masks_from_seg(np.asarray(view_out["seg_ids"][b]),
+                           np.asarray(view_out["gate"][b]),
+                           keep).astype(np.uint8)
     centers = np.asarray(view_out["centers"][b])[keep]
 
     instances = []

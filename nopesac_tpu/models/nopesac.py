@@ -22,6 +22,7 @@ from ..core.assignment import mutual_max_assignment
 from ..core.geometry import canonicalize_quat_sign, normalize
 from ..losses import camera_losses as CL
 from ..losses import criterion as CR
+from ..ops.select_pallas import fused_select_maps
 from ..losses.matching import (
     build_pred_corr_matrix,
     intersect_with_valid,
@@ -313,11 +314,16 @@ class PlaneTRNopeSAC(nn.Module):
     def select_planes(self, outputs: Dict[str, jnp.ndarray], out_h: int, out_w: int):
         """Device half of _postprocess_planeHeadMask (siamese_planeTR.py:625-803).
 
-        Fixed-shape: returns per-query validity instead of compacting.
+        Fixed-shape: returns per-query validity instead of compacting. The
+        full-resolution per-query masks are never materialised — the fused
+        upsample/argmax kernel (ops/select_pallas.py) produces an argmax
+        segmentation map + per-query statistics, and per-query masks are
+        reconstructed on the host as (seg_ids == q) & gate & valid[q]
+        (see evaluation/postprocess.py masks_from_seg).
+
         Returns dict with:
           valid [B, NQ] bool, score [B, NQ], params [B, NQ, 3],
-          masks [B, NQ, H, W] bool (argmax segmentation + prob gate),
-          centers [B, NQ, 2], seg_prob [B, NQ, H, W] (score-scaled probs).
+          seg_ids [B, H, W] int32, gate [B, H, W] bool, centers [B, NQ, 2].
         """
         logits = outputs["pred_logits"]  # [B, NQ, 2]
         params = outputs["pred_params"]  # [B, NQ, 3]
@@ -336,22 +342,19 @@ class PlaneTRNopeSAC(nn.Module):
         valid = jnp.where(any_valid, label_mask, fallback)
         score = jnp.where(valid & ~label_mask, prob[..., 0], score)
 
-        # upscale mask probabilities to the output size
+        # fused: bilinear upsample to (out_h, out_w) + argmax segmentation
+        # over valid queries + per-query area/centroid/threshold-count stats
         mask_prob = jax.nn.sigmoid(mask_logits)
-        mask_prob = jax.image.resize(mask_prob, (b, nq, out_h, out_w), method="bilinear")
-        scaled_prob = score[:, :, None, None] * mask_prob  # [B, NQ, H, W]
-
-        # argmax segmentation over valid queries only
-        neg = jnp.asarray(-1.0, scaled_prob.dtype)
-        gated = jnp.where(valid[:, :, None, None], scaled_prob, neg)
-        seg_ids = jnp.argmax(gated, axis=1)  # [B, H, W]
-        q_ids = jnp.arange(nq)[None, :, None, None]
-        masks = (seg_ids[:, None] == q_ids) & (scaled_prob > self.mask_prob_threshold)
-        masks = masks & valid[:, :, None, None]
+        seg_ids, max_scaled, stats = fused_select_maps(
+            mask_prob, score, valid, float(self.mask_prob_threshold),
+            out_h, out_w)
+        (cnt_gate, sumx_gate, sumy_gate,
+         cnt_nogate, sumx_nogate, sumy_nogate, orig_cnt) = [
+            stats[:, k] for k in range(7)]
 
         # overlap filter (siamese_planeTR.py:684-699)
-        mask_area = jnp.sum(masks, axis=(2, 3))  # [B, NQ]
-        original_area = jnp.sum(mask_prob >= self.mask_prob_threshold, axis=(2, 3))
+        mask_area = cnt_gate * valid  # argmax winners are always valid
+        original_area = orig_cnt
         overlap = mask_area / jnp.maximum(original_area, 1)
         keep = (mask_area >= 1) & (original_area >= 1) & (overlap >= self.overlap_threshold)
         keep = keep & valid
@@ -366,25 +369,22 @@ class PlaneTRNopeSAC(nn.Module):
         fallback2 = jax.nn.one_hot(jnp.argmax(ov_for_max, axis=1), nq, dtype=bool)
         any_keep = jnp.any(keep, axis=1, keepdims=True)
         # the fallback keeps the raw argmax-seg mask without the prob gate
-        masks_nogate = (seg_ids[:, None] == q_ids) & valid[:, :, None, None]
         final_valid = jnp.where(any_keep, keep, fallback2 & valid)
-        masks = jnp.where(any_keep[:, :, None, None], masks, masks_nogate)
-        masks = masks & final_valid[:, :, None, None]
+        gate = jnp.where(any_keep[:, :, None],
+                         max_scaled > self.mask_prob_threshold, True)
 
         # plane centers from normalised xy over the final mask
-        xs = (jnp.arange(out_w, dtype=self.dtype) / out_w)[None, None, None, :]
-        ys = (jnp.arange(out_h, dtype=self.dtype) / out_h)[None, None, :, None]
-        mf = masks.astype(self.dtype)
-        area = jnp.sum(mf, axis=(2, 3))
-        cx = jnp.sum(mf * xs, axis=(2, 3)) / (area + 1e-10)
-        cy = jnp.sum(mf * ys, axis=(2, 3)) / (area + 1e-10)
-        centers = jnp.stack([cx, cy], axis=-1)
+        area = jnp.where(any_keep, cnt_gate, cnt_nogate)
+        cx = jnp.where(any_keep, sumx_gate, sumx_nogate) / (area + 1e-10)
+        cy = jnp.where(any_keep, sumy_gate, sumy_nogate) / (area + 1e-10)
+        centers = jnp.stack([cx, cy], axis=-1) * final_valid[:, :, None]
 
         return {
             "valid": final_valid,
             "score": score,
             "params": params,
-            "masks": masks,
+            "seg_ids": seg_ids,
+            "gate": gate,
             "centers": centers,
         }
 

@@ -87,6 +87,11 @@ class PlaneTRHead(nn.Module):
                      dtype=self.dtype, name="decoder")(tgt, memory, pos, query_pos,
                                                        deterministic=not train)
         hs = hs[-self.num_aux:]  # [L, B, Q, C]
+        if not train:
+            # deep-supervision aux outputs feed only the training criterion;
+            # at inference compute the output heads for the last layer only
+            # (saves 2/3 of the [L,B,Q,H,W] mask einsum + its HBM traffic)
+            hs = hs[-1:]
 
         memory_map = memory.reshape(b, hc, wc, self.hidden_dim)
         p_context = TopDown(self.channel, self.hidden_dim, dtype=self.dtype,
@@ -106,8 +111,9 @@ class PlaneTRHead(nn.Module):
             "pred_logits": plane_logits[-1],
             "pred_mask_logits": mask_logits[-1],
         }
+        n_aux = plane_logits.shape[0] - 1  # 0 at inference (last layer only)
         aux = [{"pred_logits": plane_logits[i], "pred_mask_logits": mask_logits[i]}
-               for i in range(self.num_aux - 1)]
+               for i in range(n_aux)]
 
         if self.param_on:
             plane_param = MLP(self.hidden_dim, 3, 3, dtype=self.dtype, name="plane_param")(hs)

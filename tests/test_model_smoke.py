@@ -127,7 +127,8 @@ class TestInference:
         )
         v0 = out["view0"]
         assert v0["valid"].shape == (B, NQ)
-        assert v0["masks"].shape == (B, NQ, H, W)
+        assert v0["seg_ids"].shape == (B, H, W)
+        assert v0["gate"].shape == (B, H, W)
         assert v0["params"].shape == (B, NQ, 3)
         assert v0["centers"].shape == (B, NQ, 2)
         assert bool(jnp.any(v0["valid"]))  # zero-detection fallback guarantees >= 1

@@ -34,3 +34,68 @@ class TestSinkhornPallas:
             scores, jnp.float32(0.5), 80, interpret=True))
         valid = np.abs(ref) < 1e4
         np.testing.assert_allclose(got[valid], ref[valid], atol=1e-3)
+
+
+class TestFusedSelectMaps:
+    """Pallas fused upsample/argmax/stats vs the XLA reference
+    (ops/select_pallas.py; spec siamese_planeTR.py:625-803)."""
+
+    def _run(self, seed, b=2, nq=12, h=24, w=32, out_h=96, out_w=128,
+             all_invalid_batch=False):
+        from nopesac_tpu.ops.select_pallas import fused_select_maps
+        rng = np.random.default_rng(seed)
+        # bfloat16 inputs: the pallas path stores probs as bf16 in VMEM, so
+        # feed both implementations the same bf16 values
+        prob = jnp.asarray(rng.random((b, nq, h, w)).astype(np.float32))
+        prob = prob.astype(jnp.bfloat16)
+        score = jnp.asarray(rng.random((b, nq)).astype(np.float32))
+        valid = jnp.asarray(rng.random((b, nq)) > 0.3)
+        if all_invalid_batch:
+            valid = valid.at[0].set(False)
+        thr = 0.5
+        ref = fused_select_maps(prob, score, valid, thr, out_h, out_w,
+                                use_pallas=False)
+        got = fused_select_maps(prob, score, valid, thr, out_h, out_w,
+                                use_pallas=True, interpret=True)
+        return [np.asarray(x) for x in ref], [np.asarray(x) for x in got]
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_parity(self, seed):
+        (seg_r, mx_r, st_r), (seg_g, mx_g, st_g) = self._run(seed)
+        assert (seg_r == seg_g).mean() > 0.999  # ties at float noise only
+        np.testing.assert_allclose(mx_g, mx_r, atol=2e-5)
+        # counts are integers; centroid sums are float accumulations
+        agree = seg_r == seg_g
+        if agree.all():
+            np.testing.assert_allclose(st_g[:, 0], st_r[:, 0], atol=0.5)
+            np.testing.assert_allclose(st_g[:, 3], st_r[:, 3], atol=0.5)
+            np.testing.assert_allclose(st_g[:, 1:3], st_r[:, 1:3], rtol=1e-3, atol=0.5)
+            np.testing.assert_allclose(st_g[:, 4:6], st_r[:, 4:6], rtol=1e-3, atol=0.5)
+        np.testing.assert_allclose(st_g[:, 6], st_r[:, 6], atol=2.0)
+
+    def test_all_invalid_falls_back_to_query0(self):
+        (seg_r, _, _), (seg_g, _, _) = self._run(3, all_invalid_batch=True)
+        assert (seg_r[0] == 0).all()
+        assert (seg_g[0] == 0).all()
+
+    def test_other_integer_ratio(self):
+        # 2x rows, 5x cols: generic integer phase decomposition
+        (seg_r, mx_r, st_r), (seg_g, mx_g, st_g) = self._run(
+            4, h=20, w=20, out_h=40, out_w=100)
+        assert (seg_r == seg_g).mean() > 0.999
+        np.testing.assert_allclose(mx_g, mx_r, atol=2e-5)
+        np.testing.assert_allclose(st_g[:, 6], st_r[:, 6], atol=2.0)
+
+    def test_nondivisible_rejected_by_pallas(self):
+        from nopesac_tpu.ops.select_pallas import fused_select_maps
+        rng = np.random.default_rng(0)
+        prob = jnp.asarray(rng.random((1, 4, 20, 20)).astype(np.float32))
+        score = jnp.ones((1, 4), jnp.float32)
+        valid = jnp.ones((1, 4), bool)
+        with pytest.raises(ValueError):
+            fused_select_maps(prob, score, valid, 0.5, 150, 200,
+                              use_pallas=True, interpret=True)
+        # XLA path handles arbitrary ratios
+        seg, mx, st = fused_select_maps(prob, score, valid, 0.5, 150, 200,
+                                        use_pallas=False)
+        assert seg.shape == (1, 150, 200)

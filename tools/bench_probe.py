@@ -42,7 +42,8 @@ def infer(v, i0, i1):
     out = model.apply(v, i0, i1, method=model.inference, out_h=h, out_w=w)
     cam = out["cameras"]["camera"]
     return {"tran": cam["tran"], "rot": cam["rot"],
-            "masks0": out["view0"]["masks"], "masks1": out["view1"]["masks"],
+            "seg0": out["view0"]["seg_ids"], "gate0": out["view0"]["gate"],
+            "seg1": out["view1"]["seg_ids"], "gate1": out["view1"]["gate"],
             "valid0": out["view0"]["valid"], "assignment": out["assignment"]}
 
 
@@ -107,9 +108,10 @@ for i in range(3):
     _ = np.asarray(a[0, 0, 0])
     t0 = time.perf_counter()
     res = infer(variables, a, b)
-    m = np.asarray(res["masks0"])  # fetch the big masks (123MB)
+    m = np.asarray(res["seg0"])  # fetch the seg map (the largest host output)
+    _ = np.asarray(res["gate0"])
     lat4.append(time.perf_counter() - t0)
-print("serial+device_get(masks) ms:", [f"{x*1e3:.1f}" for x in lat4], flush=True)
+print("serial+device_get(seg+gate) ms:", [f"{x*1e3:.1f}" for x in lat4], flush=True)
 
 # bare backbone timing for a FLOP sanity anchor
 @jax.jit
