@@ -112,7 +112,7 @@ class PlaneTRNopeSAC(nn.Module):
     # ------------------------------------------------------------------
     def detect(self, images, train: bool = False):
         """Single-view backbone + plane head. images: [B, H, W, 3] normalised."""
-        feats = self.backbone(images)
+        feats = self.backbone(images, train=train)
         outputs, query_feat = self.plane_head(feats, train=train)
         return feats, outputs, query_feat
 

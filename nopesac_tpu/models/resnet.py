@@ -11,7 +11,9 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
 from .layers import FrozenBatchNorm, xavier_uniform
@@ -21,29 +23,143 @@ Dtype = Any
 _STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 
+class _StemConv(nn.Module):
+    """The stem 7x7/2 conv, stored as a [7,7,3,C] HWIO kernel (same param
+    tree as nn.Conv, so torch weight import is unchanged), with an optional
+    width-parity space-to-depth form: an exact rewrite as a 7x4/(2,1) conv
+    on [B, H, W/2, 2c] input (free row-major reshape).
+    out[j] = sum_dx W[dx] X[2j+dx-3] == sum_{b,px} W8[2b+px] X[2(j+b-2)+px]
+    with W8 = W zero-padded to 8 w-taps in front.
+
+    s2d defaults OFF: in isolation it is faster (1.46ms vs 2.07ms at bs=16
+    on v5e; full 2x2 s2d is faster still for the conv alone) but embedded
+    in the model XLA's layout assignment inserts relayout copies that cost
+    more than the conv saves (+1.4ms end to end, measured both variants).
+    Kept for future layout-pass changes; exactness is unit-tested.
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", xavier_uniform, (7, 7, 3, self.features),
+                            jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if not self.s2d:
+            return lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, c = x.shape
+        # input: fold w-parity into channels -> [B, H, W/2, 2c] (no copy)
+        x2 = x.reshape(b, h, w // 2, 2 * c)
+        # kernel: pad 7->8 w-taps at the FRONT, group (px, c) like the input
+        k8 = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = k8.reshape(7, 4, 2 * c, self.features)
+        return lax.conv_general_dilated(
+            x2, k2, window_strides=(2, 1), padding=[(3, 3), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv kernel parameter, tree-compatible with nn.Conv (no bias)."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", xavier_uniform, tuple(self.shape),
+                          jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """FrozenBatchNorm parameters, tree-compatible with FrozenBatchNorm.
+    Returns the folded per-channel (mul, add) in f32."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        return mul, bias - mean * mul
+
+
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1 bottleneck with FrozenBN and projection shortcut."""
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck with FrozenBN and projection
+    shortcut.
+
+    fuse_tail=True runs the identity-block tails (conv1+BN+relu and
+    conv3+BN3+residual+ReLU) as pallas matmul kernels
+    (ops/bottleneck_pallas.py) at inference. It defaults OFF: although XLA
+    leaves the residual add+relu as a separate full-map HBM pass (3.4ms/step
+    at bs=16, v5e), forcing row-major pallas boundaries inside the stage
+    makes XLA insert relayout copies around its {3,0,2,1}-layout convs that
+    cost far more than the fusion saves (28.5ms vs 21.5ms full-model,
+    measured). Kept (exactness unit-tested) for a future whole-stage fused
+    kernel where boundaries are rare. The training path always uses plain
+    XLA ops (differentiable)."""
 
     out_channels: int
     bottleneck_channels: int
     stride: int = 1
     has_shortcut: bool = False
     dtype: Dtype = jnp.float32
+    fuse_tail: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        out = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                      kernel_init=xavier_uniform, name="conv1")(x)
-        out = FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn1")(out)
-        out = nn.relu(out)
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        k1 = _ConvKernel((1, 1, cin, self.bottleneck_channels), name="conv1")()
+        m1, a1 = _BNParams(self.bottleneck_channels, name="bn1")()
+        k3 = _ConvKernel((1, 1, self.bottleneck_channels, self.out_channels),
+                         name="conv3")()
+        m3, a3 = _BNParams(self.out_channels, name="bn3")()
+
+        fused = (self.fuse_tail and not train and not self.has_shortcut
+                 and jax.default_backend() == "tpu")
+
+        if fused:
+            from ..ops.bottleneck_pallas import conv1x1_bn_add_relu
+            b, h, w, _ = x.shape
+            xp = x.reshape(b, h * w, cin)
+            out = conv1x1_bn_add_relu(
+                xp, k1.reshape(cin, self.bottleneck_channels), m1, a1,
+                residual=None, relu=True)
+            out = out.reshape(b, h, w, self.bottleneck_channels)
+        else:
+            out = lax.conv_general_dilated(
+                x, k1.astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = out * m1.astype(self.dtype) + a1.astype(self.dtype)
+            out = nn.relu(out)
+
         out = nn.Conv(self.bottleneck_channels, (3, 3), strides=(self.stride, self.stride),
                       padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
                       kernel_init=xavier_uniform, name="conv2")(out)
         out = FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                      kernel_init=xavier_uniform, name="conv3")(out)
-        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn3")(out)
+
+        if fused:
+            from ..ops.bottleneck_pallas import conv1x1_bn_add_relu
+            b, h, w, _ = out.shape
+            op = out.reshape(b, h * w, self.bottleneck_channels)
+            rp = x.reshape(b, h * w, self.out_channels)
+            y = conv1x1_bn_add_relu(
+                op, k3.reshape(self.bottleneck_channels, self.out_channels),
+                m3, a3, residual=rp, relu=True)
+            return y.reshape(b, h, w, self.out_channels)
+
+        out = lax.conv_general_dilated(
+            out, k3.astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out * m3.astype(self.dtype) + a3.astype(self.dtype)
 
         if self.has_shortcut:
             sc = nn.Conv(self.out_channels, (1, 1), strides=(self.stride, self.stride),
@@ -62,13 +178,14 @@ class ResNet(nn.Module):
     stem_out_channels: int = 64
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     dtype: Dtype = jnp.float32
+    stem_s2d: bool = False
+    fuse_tail: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        # stem: 7x7/2 conv + frozen BN + relu + 3x3/2 maxpool
-        x = nn.Conv(self.stem_out_channels, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, kernel_init=xavier_uniform,
-                    name="stem_conv1")(x)
+    def __call__(self, x, train: bool = False):
+        # stem: 7x7/2 conv (space-to-depth form) + frozen BN + relu + maxpool
+        x = _StemConv(self.stem_out_channels, dtype=self.dtype,
+                      s2d=self.stem_s2d, name="stem_conv1")(x)
         x = FrozenBatchNorm(self.stem_out_channels, dtype=self.dtype, name="stem_bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -86,8 +203,9 @@ class ResNet(nn.Module):
                     stride=stride,
                     has_shortcut=(block_idx == 0),
                     dtype=self.dtype,
+                    fuse_tail=self.fuse_tail,
                     name=f"{name}_{block_idx}",
-                )(x)
+                )(x, train=train)
             if name in self.out_features:
                 feats[name] = x
             channels *= 2

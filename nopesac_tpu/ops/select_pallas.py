@@ -126,20 +126,27 @@ def _kernel(score_ref, valid_ref, x_ref, seg_ref, max_ref, stats_ref,
             r = wr0 * xq + wr1 * xo               # row-interpolated [h, w]
             s = score_ref[0, 0, q]
             v = valid_ref[0, 0, q]
-            oc_q = jnp.float32(0.0)
+            # invalid queries score a constant -1 (select-free: y*sm + cm)
+            vf = (v > 0).astype(jnp.float32)
+            sm = s * vf
+            cm = vf - 1.0
+            oc_acc = jnp.zeros_like(r)
             new_mxs, new_ams = [], []
+            ro_prev = _shift_prev_c(r)
+            ro_next = _shift_next_c(r)
             for dx, (c_prev, wc0, wc1) in enumerate(col_taps):
-                ro = _shift_prev_c(r) if c_prev else _shift_next_c(r)
+                ro = ro_prev if c_prev else ro_next
                 y = wc0 * r + wc1 * ro
-                oc_q = oc_q + jnp.sum((y >= thr).astype(jnp.float32))
-                gated = jnp.where(v > 0, y * s, -1.0)
+                oc_acc = oc_acc + (y >= thr).astype(jnp.float32)
+                gated = y * sm + cm
                 upd = gated > mxs[dx]
                 new_mxs.append(jnp.where(upd, gated, mxs[dx]))
                 new_ams.append(jnp.where(upd, q, ams[dx]))
-            # stats[6, q] += oc_q  (Mosaic has no scatter-add: accumulate via
-            # an [8,1] x [1,nqp] outer product instead)
+            # stats[6, q] += sum(oc_acc)  (Mosaic has no scatter-add:
+            # accumulate via an [NSTAT,1] x [1,nqp] outer product instead)
             oc_col = jnp.concatenate(
-                [jnp.zeros((6, 1), jnp.float32), oc_q.reshape(1, 1)], axis=0)
+                [jnp.zeros((6, 1), jnp.float32),
+                 jnp.sum(oc_acc).reshape(1, 1)], axis=0)
             st = st + oc_col * (lane_q == q).astype(jnp.float32)
             return tuple(new_mxs), tuple(new_ams), st
 
@@ -152,10 +159,12 @@ def _kernel(score_ref, valid_ref, x_ref, seg_ref, max_ref, stats_ref,
             max_ref[0, dy * sw + dx] = mxs[dx]
 
         # per-query area/centroid stats over this row-phase's pixels
+        # (full-map reduces; a row/col-separable variant measured SLOWER in
+        # Mosaic — skinny-array lane reductions cost more than they save)
         ys = (row_i * sh + dy) * (1.0 / out_h)
         gates = tuple((mxs[dx] > thr).astype(jnp.float32) for dx in range(sw))
 
-        def body2(q, st, dy=dy, mxs=mxs, ams=ams, gates=gates, ys=ys):
+        def body2(q, st, mxs=mxs, ams=ams, gates=gates, ys=ys):
             vals = jnp.zeros((6, 1), jnp.float32)
             for dx in range(sw):
                 xs = (col_i * sw + dx) * (1.0 / out_w)

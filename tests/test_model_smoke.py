@@ -142,3 +142,19 @@ class TestInference:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(cams["camera"]["rot"]), axis=-1), 1.0, atol=1e-4)
         assert out["assignment"].shape == (B, NQ, NQ)
+
+
+class TestStemS2D:
+    def test_space_to_depth_stem_is_exact(self):
+        """The s2d stem rewrite must match the plain 7x7/2 conv bitwise-ish."""
+        import jax
+        import jax.numpy as jnp
+        from nopesac_tpu.models.resnet import _StemConv
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+        ref_m = _StemConv(s2d=False)
+        v = ref_m.init(jax.random.PRNGKey(0), x)
+        ref = ref_m.apply(v, x)
+        got = _StemConv(s2d=True).apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

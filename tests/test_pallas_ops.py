@@ -99,3 +99,33 @@ class TestFusedSelectMaps:
         seg, mx, st = fused_select_maps(prob, score, valid, 0.5, 150, 200,
                                         use_pallas=False)
         assert seg.shape == (1, 150, 200)
+
+
+class TestConv1x1BnAddRelu:
+    """Fused bottleneck-tail kernel vs plain jnp (ops/bottleneck_pallas.py)."""
+
+    @pytest.mark.parametrize("with_residual,relu", [(True, True), (False, False)])
+    def test_parity(self, with_residual, relu):
+        from nopesac_tpu.ops.bottleneck_pallas import conv1x1_bn_add_relu
+        rng = np.random.default_rng(0)
+        b, p, cin, cout = 2, 300, 64, 256  # p not a tile multiple: pad path
+        x = jnp.asarray(rng.normal(size=(b, p, cin)).astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32) * 0.1)
+        scale = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        shift = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        res = jnp.asarray(rng.normal(size=(b, p, cout)).astype(np.float32)).astype(jnp.bfloat16) \
+            if with_residual else None
+        got = conv1x1_bn_add_relu(x, w, scale, shift, residual=res, relu=relu,
+                                  tile_px=256, interpret=True)
+        ref = jnp.einsum("bpc,cd->bpd", x.astype(jnp.float32),
+                         w.astype(jnp.bfloat16).astype(jnp.float32))
+        ref = ref * scale + shift
+        if res is not None:
+            ref = ref + res.astype(jnp.float32)
+        if relu:
+            ref = jnp.maximum(ref, 0.0)
+        ref = ref.astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+        assert got.dtype == jnp.bfloat16 and got.shape == (b, p, cout)
