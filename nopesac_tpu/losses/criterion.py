@@ -108,13 +108,34 @@ def compute_match_cost(outputs: Dict, targets: Dict, weights: Dict) -> jnp.ndarr
 
 def match_planes(outputs: Dict, targets: Dict, weights: Dict) -> jnp.ndarray:
     """Hungarian matching -> match [B, NQ] (gt index or -1)."""
-    cost = compute_match_cost(outputs, targets, weights)
+    return match_planes_multi([outputs], targets, weights)[0]
+
+
+def match_planes_multi(outputs_list, targets: Dict, weights: Dict):
+    """Hungarian matching for several supervision levels in ONE solver call.
+
+    The reference matches each deep-supervision level independently
+    (criterion.py:302-308) - same algorithm, same targets, different
+    predictions. The JV solver is a sequential lax.while_loop whose
+    per-iteration work is tiny, so its cost on TPU is iteration *overhead*,
+    not FLOPs: stacking all L levels into one [L*B, NQ, NG] batch runs the
+    same sequential depth once instead of L times (~3x fewer while-loop
+    dispatches for the standard 3-level supervision). Exact - each batch
+    entry is still an independent LSA.
+
+    Returns a list of match arrays [B, NQ] (gt index or -1), one per level.
+    """
+    levels = len(outputs_list)
+    costs = [compute_match_cost(o, targets, weights) for o in outputs_list]
+    cost = jnp.concatenate(costs, axis=0)  # [L*B, NQ, NG]
     num_gt = jnp.sum(targets["gt_valid"].astype(jnp.int32), axis=-1)  # [B]
-    b, nq, ng = cost.shape
+    num_gt = jnp.tile(num_gt, levels)
+    lb, nq, ng = cost.shape
     if ng < nq:
         cost = jnp.pad(cost, ((0, 0), (0, 0), (0, nq - ng)), constant_values=0.0)
     cost = jax.lax.stop_gradient(cost)
-    return hungarian_device(cost, num_gt)
+    match = hungarian_device(cost, num_gt)
+    return list(jnp.split(match, levels, axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +219,7 @@ def detection_losses(
         losses["loss_param_cos"] = jnp.sum(cos * matched_f) / num_matched_total
 
         if not aux:
-            losses["loss_q"] = _q_loss(src_p, tgt_p, tgt, matched_f, targets)
+            losses["loss_q"] = _q_loss_segmap(src_p, match, targets)
 
     return losses
 
@@ -235,6 +256,72 @@ def _q_loss(src_p, tgt_p, tgt_masks, matched_f, targets):
     per_img_sum = jnp.sum(pr_err_map * vr_f, axis=(1, 2))
     per_img_cnt = jnp.sum(vr_f, axis=(1, 2))
     has_masks = jnp.sum(masks, axis=(1, 2, 3)) >= 1
+    ok = has_masks & (per_img_cnt > 0)
+    per_img = jnp.where(ok, per_img_sum / jnp.maximum(per_img_cnt, 1.0), 0.0)
+    return jnp.mean(per_img)
+
+
+def _q_loss_segmap(src_p, match, targets):
+    """Exact Q-loss rewrite via a per-pixel GT-index map (criterion.py:173-233).
+
+    The naive formulation materialises two [B, NQ, H, W] plane-distance
+    volumes (sum_n |p_n . X - 1| * mask_n). GT instance masks are DISJOINT
+    (MP3D: semantic-map equality, mapper.py:138; ScanNet: pre-rendered seg),
+    so per pixel at most one matched query's mask is active and the sum
+    collapses to a single gathered term: build seg[b,h,w] = argmax_g mask_g,
+    gather that GT's (and its matched prediction's) rescaled params per
+    pixel, and evaluate |p . X - 1| once per pixel - [B, H, W] work instead
+    of [B, NQ, H, W] (50x less HBM traffic). Bitwise-equal to _q_loss on
+    disjoint masks (tests/test_core_geometry.py::test_q_loss_segmap_parity).
+
+    The per-pixel lookup is NOT a gather: TPU gathers with per-element
+    dynamic indices serialise (measured 30x slower than the naive loss).
+    Disjoint 0/1 masks ARE the one-hot encoding of the pixel->plane map, so
+    the lookup is a single MXU matmul einsum("bnhw,bnc->bchw", masks, params)
+    that reads the mask volume once per direction.
+
+    src_p: [B, NQ, 3] predicted params; match: [B, NQ] gt index or -1.
+    """
+    gt_masks = targets["gt_masks"]  # [B, NG, H, W], disjoint 0/1
+    b, ng = gt_masks.shape[:2]
+    nq = src_p.shape[1]
+    depth = targets["depth"]  # [B, H, W]
+    kxy = targets["k_inv_dot_xy1"]  # [B, 3, H, W]
+    pts = kxy * depth[:, None]  # [B, 3, H, W]
+
+    def params_new(p):
+        off = safe_norm(p, axis=-1, keepdims=True)
+        nrm = p / jnp.maximum(off, 1e-12)
+        return nrm / jnp.maximum(off, 1e-12)
+
+    # inverse permutation: inv[b, g] = query matched to gt g, or -1
+    q_idx = jnp.arange(nq, dtype=jnp.int32)
+    inv = jnp.full((b, ng), -1, jnp.int32)
+    inv = inv.at[jnp.arange(b)[:, None], jnp.maximum(match, 0)].max(
+        jnp.where(match >= 0, q_idx[None], -1))
+    active_g = (inv >= 0).astype(jnp.float32)  # [B, NG]
+
+    gt_new_g = params_new(targets["gt_params"]) * active_g[..., None]  # [B, NG, 3]
+    pr_new_q = params_new(src_p)  # [B, NQ, 3]
+    pr_new_g = jnp.take_along_axis(
+        pr_new_q, jnp.maximum(inv, 0)[..., None], axis=1) * active_g[..., None]
+
+    # one-hot matmul: per-pixel [gt params | pred params | matched-coverage]
+    stack = jnp.concatenate(
+        [gt_new_g, pr_new_g, active_g[..., None]], axis=-1)  # [B, NG, 7]
+    masks_f = gt_masks.astype(jnp.float32)
+    px = jnp.einsum("bnhw,bnc->bchw", masks_f, stack)  # [B, 7, H, W]
+    gt_px, pr_px, act_f = px[:, 0:3], px[:, 3:6], px[:, 6]
+    act_px = act_f > 0
+
+    gt_err_map = jnp.abs(jnp.sum(gt_px * pts, axis=1) - 1.0) * act_f
+    valid_region = (gt_err_map < 0.2) & act_px
+    pr_err_map = jnp.abs(jnp.sum(pr_px * pts, axis=1) - 1.0) * act_f
+
+    vr_f = valid_region.astype(pr_err_map.dtype)
+    per_img_sum = jnp.sum(pr_err_map * vr_f, axis=(1, 2))
+    per_img_cnt = jnp.sum(vr_f, axis=(1, 2))
+    has_masks = jnp.sum(act_f, axis=(1, 2)) >= 1
     ok = has_masks & (per_img_cnt > 0)
     per_img = jnp.where(ok, per_img_sum / jnp.maximum(per_img_cnt, 1.0), 0.0)
     return jnp.mean(per_img)
@@ -348,6 +435,6 @@ def detection_losses_siamese(
         losses["loss_param_cos"] = jnp.mean(per_view_sum(cos * matched_f) / num_matched_v)
 
         if not aux:
-            losses["loss_q"] = _q_loss(src_p, tgt_p, tgt, matched_f, targets)
+            losses["loss_q"] = _q_loss_segmap(src_p, match, targets)
 
     return losses

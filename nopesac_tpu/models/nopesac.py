@@ -171,7 +171,11 @@ class PlaneTRNopeSAC(nn.Module):
 
         feats_cat, out_cat, qf_cat = self.detect(images_cat, train=True)
 
-        match_cat = CR.match_planes(out_cat, targets_cat, mw)
+        # one batched JV solve for final + all aux supervision levels
+        # (match_planes_multi docstring: ~3x fewer sequential while loops)
+        aux_list = list(out_cat["aux_outputs"]) if self.loss_detection_on else []
+        matches = CR.match_planes_multi([out_cat] + aux_list, targets_cat, mw)
+        match_cat = matches[0]
         if self.loss_detection_on:
             raw = CR.detection_losses_siamese(
                 out_cat, targets_cat, match_cat, eos_coef=self.no_object_weight)
@@ -179,8 +183,7 @@ class PlaneTRNopeSAC(nn.Module):
                 raw["loss_depth_pixel"] = CR.depth_loss_siamese(out_cat, targets_cat)
             for k, v in raw.items():
                 losses[k] = v * weight_dict[k]
-            for i, aux in enumerate(out_cat["aux_outputs"]):
-                match_aux = CR.match_planes(aux, targets_cat, mw)
+            for i, (aux, match_aux) in enumerate(zip(aux_list, matches[1:])):
                 raw_aux = CR.detection_losses_siamese(
                     aux, targets_cat, match_aux,
                     eos_coef=self.no_object_weight, aux=True)

@@ -14,9 +14,10 @@ def make_batch(rng, b=B, h=H, w=W, ngt=4, ncorr=2):
     def targets():
         gt_valid = np.zeros((b, NQ), bool)
         gt_valid[:, :ngt] = True
-        gt_masks = np.zeros((b, NQ, h, w), np.float32)
+        # uint8 like the real pipeline (mapper.py view_targets); disjoint
+        gt_masks = np.zeros((b, NQ, h, w), np.uint8)
         for g in range(ngt):
-            gt_masks[:, g, g * 10:(g + 1) * 10, g * 12:(g + 1) * 12] = 1.0
+            gt_masks[:, g, g * 10:(g + 1) * 10, g * 12:(g + 1) * 12] = 1
         gt_params = rng.normal(size=(b, NQ, 3)).astype(np.float32) * gt_valid[..., None]
         gt_centers = rng.uniform(size=(b, NQ, 2)).astype(np.float32) * gt_valid[..., None]
         gt_pixel_centers = rng.uniform(size=(b, h, w, 2)).astype(np.float32)
