@@ -18,8 +18,82 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from functools import lru_cache
+
+import numpy as np
+
 from ..core.geometry import safe_norm
 from .hungarian import hungarian_device
+
+
+@lru_cache(maxsize=8)
+def _resize_matrix(n_in: int, n_out: int):
+    """Dense operator matrix of jax.image.resize(..., method='bilinear').
+
+    Bilinear resize is a separable linear map, so upsampling [h,w]->[H,W] is
+    two dense matmuls z = A_h @ x @ A_w^T that ride the MXU; XLA's native
+    resize lowering (and especially its transpose in the backward pass) is
+    bandwidth-bound instead. Exact for integer upsample ratios
+    (tests/test_criterion.py::test_resize_matrix_matches_jax_image).
+    """
+    out = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(src))
+        frac = src - lo
+        lo_c = min(max(lo, 0), n_in - 1)
+        hi_c = min(max(lo + 1, 0), n_in - 1)
+        out[i, lo_c] += 1 - frac
+        out[i, hi_c] += frac
+    return out.astype(np.float32)
+
+
+def upsample_bilinear(x: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """[..., h, w] -> [..., gh, gw], bitwise jax.image.resize semantics."""
+    h, w = x.shape[-2:]
+    ah = jnp.asarray(_resize_matrix(h, gh), x.dtype)
+    aw = jnp.asarray(_resize_matrix(w, gw), x.dtype)
+    return jnp.einsum("Hh,...hw,Ww->...HW", ah, x, aw)
+
+
+def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
+    """Per-query focal mean + dice vs each query's matched GT mask.
+
+    src: [B, NQ, h, w] mask logits; gt_masks: [B, NG, H, W] 0/1 (uint8);
+    tgt_idx: [B, NQ] matched gt index (clamped >= 0; unmatched queries must
+    be zeroed by the caller). Returns (focal_per [B,NQ], dice [B,NQ]) f32.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/mask_loss_pallas.py) - no full-resolution [B,NQ,H,W] tensor ever
+    reaches HBM; elsewhere it runs the naive upsample+elementwise chain
+    (identical math, tested against each other in tests/test_pallas_ops.py).
+    """
+    gh, gw = gt_masks.shape[-2:]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.mask_loss_pallas import fused_focal_dice
+
+        f_sum, inter, psum, tsum = fused_focal_dice(src, gt_masks, tgt_idx, False)
+        focal_per = f_sum / (gh * gw)
+        dice = 1.0 - (2.0 * inter + 1.0) / (psum + tsum + 1.0)
+        return focal_per, dice
+
+    src_up = upsample_bilinear(src, gh, gw)
+    tgt = jnp.take_along_axis(
+        gt_masks, tgt_idx[:, :, None, None], axis=1
+    ).astype(src.dtype)  # [B, NQ, H, W]
+    prob = jax.nn.sigmoid(src_up)
+    ce = _bce_logits(src_up, tgt)
+    p_t = prob * tgt + (1 - prob) * (1 - tgt)
+    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
+    focal = alpha_t * ce * ((1 - p_t) ** 2)
+    focal_per = jnp.mean(focal, axis=(2, 3)).astype(jnp.float32)
+    inter = jnp.sum(prob * tgt, axis=(2, 3))
+    denom = jnp.sum(prob, axis=(2, 3)) + jnp.sum(tgt, axis=(2, 3))
+    dice = (1 - (2 * inter + 1) / (denom + 1)).astype(jnp.float32)
+    return focal_per, dice
 
 
 # ---------------------------------------------------------------------------
@@ -172,23 +246,10 @@ def detection_losses(
     gt_masks = targets["gt_masks"]  # [B, NG, H, W]
     gh, gw = gt_masks.shape[-2:]
     src = outputs["pred_mask_logits"]  # [B, NQ, h, w]
-    src_up = jax.image.resize(src, (b, nq, gh, gw), method="bilinear")
-    tgt = jnp.take_along_axis(
-        gt_masks, tgt_idx[:, :, None, None], axis=1
-    ).astype(src.dtype)  # [B, NQ, H, W]
-
-    prob = jax.nn.sigmoid(src_up)
-    ce = _bce_logits(src_up, tgt)
-    p_t = prob * tgt + (1 - prob) * (1 - tgt)
-    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
-    focal = alpha_t * ce * ((1 - p_t) ** 2)
-    focal_per = jnp.mean(focal, axis=(2, 3))  # mean over pixels
-    losses["loss_mask"] = jnp.sum(focal_per * matched_f) / num_masks
-
-    inter = jnp.sum(prob * tgt, axis=(2, 3))
-    denom = jnp.sum(prob, axis=(2, 3)) + jnp.sum(tgt, axis=(2, 3))
-    dice = 1 - (2 * inter + 1) / (denom + 1)
-    losses["loss_dice"] = jnp.sum(dice * matched_f) / num_masks
+    matched_f32 = matched_f.astype(jnp.float32)
+    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx)
+    losses["loss_mask"] = jnp.sum(focal_per * matched_f32) / num_masks
+    losses["loss_dice"] = jnp.sum(dice * matched_f32) / num_masks
 
     # ---- centers (criterion.py:122-153)
     if center_on and "pred_centers" in outputs:
@@ -395,20 +456,10 @@ def detection_losses_siamese(
     gt_masks = targets["gt_masks"]
     gh, gw = gt_masks.shape[-2:]
     src = outputs["pred_mask_logits"]
-    src_up = jax.image.resize(src, (b2, nq, gh, gw), method="bilinear")
-    tgt = jnp.take_along_axis(gt_masks, tgt_idx[:, :, None, None], axis=1).astype(src.dtype)
-
-    prob = jax.nn.sigmoid(src_up)
-    ce = _bce_logits(src_up, tgt)
-    p_t = prob * tgt + (1 - prob) * (1 - tgt)
-    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
-    focal_per = jnp.mean(alpha_t * ce * ((1 - p_t) ** 2), axis=(2, 3))
-    losses["loss_mask"] = jnp.mean(per_view_sum(focal_per * matched_f) / num_masks_v)
-
-    inter = jnp.sum(prob * tgt, axis=(2, 3))
-    denom = jnp.sum(prob, axis=(2, 3)) + jnp.sum(tgt, axis=(2, 3))
-    dice = 1 - (2 * inter + 1) / (denom + 1)
-    losses["loss_dice"] = jnp.mean(per_view_sum(dice * matched_f) / num_masks_v)
+    matched_f32 = matched_f.astype(jnp.float32)
+    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx)
+    losses["loss_mask"] = jnp.mean(per_view_sum(focal_per * matched_f32) / num_masks_v)
+    losses["loss_dice"] = jnp.mean(per_view_sum(dice * matched_f32) / num_masks_v)
 
     # ---- centers
     if center_on and "pred_centers" in outputs:

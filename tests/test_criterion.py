@@ -55,6 +55,20 @@ def make_targets(rng, b, ngt=5, disjoint=True):
     }
 
 
+class TestResizeMatrix:
+    def test_resize_matrix_matches_jax_image(self):
+        import jax
+        import jax.image
+
+        rng = np.random.default_rng(0)
+        for (h, w, gh, gw) in [(12, 16, 48, 64), (120, 160, 480, 640)]:
+            x = jnp.asarray(rng.normal(size=(2, 3, h, w)).astype(np.float32))
+            ref = jax.image.resize(x, (2, 3, gh, gw), method="bilinear")
+            got = CR.upsample_bilinear(x, gh, gw)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
 class TestMatchPlanesMulti:
     def test_multi_equals_per_level(self):
         rng = np.random.default_rng(0)

@@ -46,6 +46,30 @@ class TestLapJV:
             assert len(got_pairs) == len(rows)
             assert abs(got_cost - ref_cost) < 1e-3
 
+    def test_rect_batched_varied_ngt(self):
+        """Batched transposed-rectangular path: per-element ngt 0..N."""
+        rng = np.random.default_rng(7)
+        n = 14
+        for trial in range(5):
+            bsz = 6
+            cost = rng.normal(size=(bsz, n, n)).astype(np.float32) * 5
+            ngts = np.array([0, 1, 3, 7, n - 1, n])[rng.permutation(6)][:bsz]
+            match = np.asarray(
+                hungarian_device(jnp.asarray(cost), jnp.asarray(ngts, np.int32)))
+            for b in range(bsz):
+                ngt = int(ngts[b])
+                m = match[b]
+                assigned = m[m >= 0]
+                # exactly the ngt real columns assigned, each once
+                assert sorted(assigned.tolist()) == list(range(ngt))
+                if ngt == 0:
+                    continue
+                sub = cost[b][:, :ngt]
+                rows, cols = linear_sum_assignment(sub)
+                opt = sub[rows, cols].sum()
+                got = sum(sub[i, c] for i, c in enumerate(m) if c >= 0)
+                assert abs(got - opt) < 1e-3, (trial, b, ngt)
+
     def test_host_oracle_agrees(self):
         rng = np.random.default_rng(2)
         nq, ngt = 10, 6

@@ -1,5 +1,6 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -129,3 +130,51 @@ class TestConv1x1BnAddRelu:
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
         assert got.dtype == jnp.bfloat16 and got.shape == (b, p, cout)
+
+
+class TestFusedMaskLoss:
+    """Fused upsample+focal/dice kernel vs the naive jnp twin
+    (ops/mask_loss_pallas.py; spec criterion.py:93-120)."""
+
+    def _inputs(self, rng, b=2, nq=5, ng=4, h=12, w=16, gh=48, gw=64):
+        src = jnp.asarray(rng.normal(size=(b, nq, h, w)).astype(np.float32))
+        masks = np.zeros((b, ng, gh, gw), np.uint8)
+        for g in range(ng):
+            masks[:, g, g * 10:(g + 1) * 10, : gw // 2] = 1
+        tgt_idx = jnp.asarray(rng.integers(-1, ng, size=(b, nq)), jnp.int32)
+        return src, jnp.asarray(masks), tgt_idx
+
+    def test_forward_parity(self):
+        from nopesac_tpu.ops.mask_loss_pallas import (
+            focal_dice_reference, fused_focal_dice)
+
+        rng = np.random.default_rng(0)
+        src, masks, tgt_idx = self._inputs(rng)
+        got = fused_focal_dice(src, masks, tgt_idx, True)
+        ref = focal_dice_reference(src, masks, tgt_idx)
+        for g, r, name in zip(got, ref, ["focal", "inter", "psum", "tsum"]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-2, atol=2e-2,
+                err_msg=name)
+
+    def test_gradient_parity(self):
+        from nopesac_tpu.ops.mask_loss_pallas import (
+            focal_dice_reference, fused_focal_dice)
+
+        rng = np.random.default_rng(1)
+        src, masks, tgt_idx = self._inputs(rng)
+        wf, wi, wp = 0.7, -0.3, 0.11
+
+        def loss_fused(s):
+            f, i, p, t = fused_focal_dice(s, masks, tgt_idx, True)
+            return jnp.sum(wf * f + wi * i + wp * p + 0.0 * t)
+
+        def loss_ref(s):
+            f, i, p, t = focal_dice_reference(s, masks, tgt_idx)
+            return jnp.sum(wf * f + wi * i + wp * p + 0.0 * t)
+
+        g_got = np.asarray(jax.grad(loss_fused)(src))
+        g_ref = np.asarray(jax.grad(loss_ref)(src))
+        scale = np.abs(g_ref).max() + 1e-6
+        np.testing.assert_allclose(g_got / scale, g_ref / scale,
+                                   rtol=3e-2, atol=3e-2)
