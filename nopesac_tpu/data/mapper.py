@@ -55,6 +55,7 @@ class PairMapper:
         depth_on: bool = True,
         augmentation: bool = False,
         seed: int = 42,
+        camera_cls_on: bool = False,
     ):
         self.is_train = is_train
         self.kind = dataset_kind
@@ -67,6 +68,7 @@ class PairMapper:
         self.eval_gt_box = eval_gt_box
         self.depth_on = depth_on
         self.augmentation = augmentation and is_train
+        self.camera_cls_on = camera_cls_on
         self._aug_rng = np.random.default_rng(seed)
         self.bins: Optional[CameraBins] = None
         if load_bins and camera_on:
@@ -233,7 +235,10 @@ class PairMapper:
         rel = pair.get("rel_pose")
         if rel is not None:
             rot = np.asarray(rel["rotation"], np.float32)
-            if rot[0] < 0:
+            # sign canonicalisation skipped when the legacy camera-bin
+            # classification path is on (siamese_planeTR.py:556: the bin
+            # convention fixes the quat sign)
+            if rot[0] < 0 and not self.camera_cls_on:
                 rot = -rot
             tran = np.asarray(rel["position"], np.float32)
             sample["gt_pose"] = np.concatenate([tran, rot]).astype(np.float32)

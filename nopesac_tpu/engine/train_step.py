@@ -97,9 +97,18 @@ def jit_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     )
 
 
-def make_eval_step(model, out_h: int = 480, out_w: int = 640) -> Callable:
-    def eval_step(variables, image0, image1):
-        return model.apply(variables, image0, image1, method=model.inference,
-                           out_h=out_h, out_w=out_w)
+def make_eval_step(model, out_h: int = 480, out_w: int = 640,
+                   with_gt_geo: bool = False) -> Callable:
+    """with_gt_geo=True adds a gt_geo argument for the GT-matcher pose
+    refinement ablation (cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS; spec
+    camera_head.py:520-547)."""
+    if with_gt_geo:
+        def eval_step(variables, image0, image1, gt_geo):
+            return model.apply(variables, image0, image1, method=model.inference,
+                               out_h=out_h, out_w=out_w, gt_geo=gt_geo)
+    else:
+        def eval_step(variables, image0, image1):
+            return model.apply(variables, image0, image1, method=model.inference,
+                               out_h=out_h, out_w=out_w)
 
     return eval_step

@@ -32,6 +32,61 @@ from .train_step import create_train_state, jit_train_step, make_eval_step, make
 logger = logging.getLogger(__name__)
 
 
+def perturb_planes(params: np.ndarray, rng: np.random.Generator,
+                   scale_offset: float, scale_normal_deg: float) -> np.ndarray:
+    """Gaussian-perturb plane params (GT-matcher noise ablation).
+
+    Spec camera_head.py:1233-1272: offset += N(0, scale_offset); normal is
+    rotated by a random Euler rotation with angles N(0, scale_normal_deg).
+    params: [N, 3] (zero rows stay zero). The reference draws one noise set
+    per view and reuses it across its three get_gt_geo_sequence calls; here
+    the single perturbed param array plays that role.
+    """
+    from ..utils.np_geometry import rotmat_from_euler_deg as np_euler
+
+    n = params.shape[0]
+    offset = np.linalg.norm(params, axis=-1, keepdims=True)  # [N, 1]
+    valid = offset[:, 0] > 1e-8
+    normal = params / np.maximum(offset, 1e-8)
+    ang = rng.normal(0.0, scale_normal_deg, size=(n, 3)).astype(np.float32)
+    rot = np_euler(ang[:, 0], ang[:, 1], ang[:, 2])  # [N, 3, 3]
+    normal = np.einsum("nij,nj->ni", rot, normal)
+    normal /= np.maximum(np.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+    offset = offset + rng.normal(0.0, scale_offset, size=(n, 1)).astype(np.float32)
+    out = (offset * normal).astype(np.float32)
+    out[~valid] = 0.0
+    return out
+
+
+def gt_geo_from_samples(chunk: List[dict], samples: List[dict], nq: int,
+                        noise_rng=None, scale_offset: float = 0.1,
+                        scale_normal_deg: float = 10.0) -> Dict[str, np.ndarray]:
+    """Host-side GT-matcher inputs for PlaneTRNopeSAC.inference(gt_geo=...).
+
+    Builds [B,nq,3] zero-padded GT plane params per view from the pair
+    annotations (camera_head.py:1205-1219) plus the mapper's corr arrays;
+    optionally applies the Gaussian noise ablation (perturb_planes).
+    """
+    bsz = len(chunk)
+    params0 = np.zeros((bsz, nq, 3), np.float32)
+    params1 = np.zeros((bsz, nq, 3), np.float32)
+    for i, pair in enumerate(chunk):
+        for view, dst in (("0", params0), ("1", params1)):
+            planes = [ann["plane"] for ann in pair[view].get("annotations", [])][:nq]
+            if planes:
+                arr = np.asarray(planes, np.float32)
+                if noise_rng is not None:
+                    arr = perturb_planes(arr, noise_rng, scale_offset, scale_normal_deg)
+                dst[i, : len(planes)] = arr
+    return {
+        "params0": params0,
+        "params1": params1,
+        "corr_idx1": np.stack([s["corr_idx1"] for s in samples]),
+        "corr_idx2": np.stack([s["corr_idx2"] for s in samples]),
+        "corr_valid": np.stack([s["corr_valid"] for s in samples]),
+    }
+
+
 def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32, train_image_hw=None) -> PlaneTRNopeSAC:
     h = cfg.MODEL.SEM_SEG_HEAD
     cam = cfg.MODEL.CAMERA_HEAD
@@ -118,6 +173,7 @@ class Trainer:
             depth_on=True,
             augmentation=cfg.DATALOADER.AUGMENTATION,
             seed=cfg.SEED,
+            camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
         )
         return PairLoader(
             dataset_list, mapper,
@@ -230,10 +286,21 @@ class Trainer:
             is_train=False, dataset_kind=_dataset_kind(test_name),
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
+            camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
         )
         evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list)
         h, w = self.image_hw
-        eval_step = jax.jit(make_eval_step(self.model, out_h=h, out_w=w))
+
+        # GT-matcher pose refinement ablation (camera_head.py:520-547)
+        use_gt_matcher = bool(cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS)
+        noise_rng = None
+        if use_gt_matcher:
+            logger.warning("using GT plane matches for pose refinement")
+            if cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS:
+                logger.warning("...with Gaussian noise on the GT planes")
+                noise_rng = np.random.default_rng(cfg.SEED if cfg.SEED >= 0 else 0)
+        eval_step = jax.jit(make_eval_step(self.model, out_h=h, out_w=w,
+                                           with_gt_geo=use_gt_matcher))
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
         bs = 4
@@ -242,7 +309,16 @@ class Trainer:
             samples = [mapper(d) for d in chunk]
             img0 = jnp.asarray(np.stack([s["image0"] for s in samples]))
             img1 = jnp.asarray(np.stack([s["image1"] for s in samples]))
-            out = jax.device_get(eval_step(variables, img0, img1))
+            if use_gt_matcher:
+                gt_geo = gt_geo_from_samples(
+                    chunk, samples, self.model.num_queries, noise_rng=noise_rng,
+                    scale_offset=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_OFFSET_SCALE,
+                    scale_normal_deg=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_NORMAL_SCALE,
+                )
+                gt_geo = {k: jnp.asarray(v) for k, v in gt_geo.items()}
+                out = jax.device_get(eval_step(variables, img0, img1, gt_geo))
+            else:
+                out = jax.device_get(eval_step(variables, img0, img1))
             metas = [s["meta"] for s in samples]
             results = postprocess_batch(out, metas, height=h, width=w)
             evaluator.process(chunk, results)

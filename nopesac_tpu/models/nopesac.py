@@ -391,11 +391,20 @@ class PlaneTRNopeSAC(nn.Module):
             "centers": centers,
         }
 
-    def inference(self, images0, images1, out_h: int = 480, out_w: int = 640):
+    def inference(self, images0, images1, out_h: int = 480, out_w: int = 640,
+                  gt_geo=None):
         """Full inference: detection + matching + NOPE-SAC pose.
 
         Spec: siamese_planeTR.py:338-450 + camera_head.py:400-640
         (inference_Joint), fixed-shape and batched.
+
+        gt_geo: optional GT-matcher ablation (camera_head.py:520-547,
+        cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS): a dict with
+        params0/params1 [B,N,3] (GT plane params, optionally noise-perturbed
+        by the caller - see engine/trainer.perturb_planes), corr_idx1/
+        corr_idx2 [B,M] and corr_valid [B,M]. When given, the pose-refinement
+        geo sequence is built from these GT correspondences instead of the
+        predicted assignment; detection/matching outputs stay prediction-based.
         """
         b = images0.shape[0]
         images_cat = jnp.concatenate([images0, images1], axis=0)
@@ -459,8 +468,14 @@ class PlaneTRNopeSAC(nn.Module):
             return result
 
         # ---- NOPE-SAC refinement
-        geo_local, seq_valid, num_matches = build_geo_sequence(
-            params0, params1, assignment, self.num_queries)
+        if gt_geo is not None:
+            geo_local, seq_valid, num_matches = build_gt_geo_sequence(
+                gt_geo["params0"], gt_geo["params1"],
+                gt_geo["corr_idx1"], gt_geo["corr_idx2"], gt_geo["corr_valid"])
+            geo_local = geo_local.astype(self.dtype)
+        else:
+            geo_local, seq_valid, num_matches = build_geo_sequence(
+                params0, params1, assignment, self.num_queries)
         geo_global = warp_geo_sequence(geo_local, base_tran, base_rot)
         sig_seq = compute_sig_seq(geo_local, base_tran, base_rot)
 

@@ -159,3 +159,49 @@ class TestStemS2D:
         got = _StemConv(s2d=True).apply(v, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestGTMatcherInference:
+    """GT-matcher pose refinement ablation (camera_head.py:520-547;
+    cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS)."""
+
+    def test_inference_with_gt_geo(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        rng = np.random.default_rng(5)
+        ncorr = 3
+        corr_valid = np.zeros((B, NQ), bool)
+        corr_valid[:, :ncorr] = True
+        gt_geo = {
+            "params0": jnp.asarray(rng.normal(size=(B, NQ, 3)).astype(np.float32)),
+            "params1": jnp.asarray(rng.normal(size=(B, NQ, 3)).astype(np.float32)),
+            "corr_idx1": jnp.asarray(np.tile(np.arange(NQ, dtype=np.int32), (B, 1))),
+            "corr_idx2": jnp.asarray(np.tile(np.arange(NQ, dtype=np.int32), (B, 1))),
+            "corr_valid": jnp.asarray(corr_valid),
+        }
+        out = model.apply(
+            variables, batch["image0"], batch["image1"],
+            method=model.inference, out_h=H, out_w=W, gt_geo=gt_geo,
+        )
+        # refinement consumed the GT corrs, not the predicted assignment
+        assert int(np.asarray(out["num_matches"])[0]) == ncorr
+        for cam in ["camera", "camera_softRef0", "camera_avgRef0"]:
+            c = out["cameras"][cam]
+            assert np.isfinite(np.asarray(c["tran"], np.float32)).all()
+            assert np.isfinite(np.asarray(c["rot"], np.float32)).all()
+
+    def test_perturb_planes_scales(self):
+        from nopesac_tpu.engine.trainer import perturb_planes
+
+        rng = np.random.default_rng(0)
+        params = rng.normal(size=(40, 3)).astype(np.float32) * 2 + 0.5
+        params[35:] = 0.0  # padding rows stay zero
+        noisy = perturb_planes(params, np.random.default_rng(1), 0.1, 10.0)
+        assert (noisy[35:] == 0).all()
+        off0 = np.linalg.norm(params[:35], axis=-1)
+        off1 = np.linalg.norm(noisy[:35], axis=-1)
+        d_off = np.abs(off1 - off0)
+        assert 0 < d_off.mean() < 0.5  # ~N(0, 0.1)
+        n0 = params[:35] / off0[:, None]
+        n1 = noisy[:35] / off1[:, None]
+        ang = np.rad2deg(np.arccos(np.clip((n0 * n1).sum(-1), -1, 1)))
+        assert 0 < ang.mean() < 45  # ~10 deg Euler noise
