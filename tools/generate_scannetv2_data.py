@@ -178,6 +178,303 @@ def clean_segmentation(image: np.ndarray, planes: np.ndarray, plane_labels,
 
 
 # ---------------------------------------------------------------------------
+# record assembly (reference :528-936)
+# ---------------------------------------------------------------------------
+
+def decode_segmentation_rgb(rgb: np.ndarray) -> np.ndarray:
+    """PlaneRCNN-style seg png (RGB) -> plane index map, -1 = non-plane
+    (reference :631-634: (r*65536 + g*256 + b) // 100 - 1)."""
+    rgb = rgb.astype(np.int64)
+    seg = (rgb[:, :, 0] * 256 * 256 + rgb[:, :, 1] * 256 + rgb[:, :, 2]) // 100 - 1
+    seg[seg == 167771] = -1
+    return seg.astype(np.int32)
+
+
+def encode_segmentation_rgb(seg: np.ndarray) -> np.ndarray:
+    """Inverse of decode_segmentation_rgb (for synthetic test fixtures)."""
+    v = (seg.astype(np.int64) + 1) * 100
+    rgb = np.stack([v // 65536, (v // 256) % 256, v % 256], axis=-1)
+    return rgb.astype(np.uint8)
+
+
+def load_scene_info(scene_path: str) -> Optional[dict]:
+    """Scene intrinsics + PlaneRCNN global plane fits (reference
+    get_scene_info :428-470). Expects <scene>/<scene>.txt with fx_depth/...
+    keys and annotation/{planes,plane_info}.npy."""
+    scene_name = os.path.basename(os.path.normpath(scene_path))
+    meta_path = os.path.join(scene_path, scene_name + ".txt")
+    if not os.path.exists(meta_path):
+        return None
+    vals: Dict[str, float] = {}
+    with open(meta_path) as f:
+        for line in f:
+            toks = [t for t in line.strip().split(" ") if t.strip()]
+            if len(toks) >= 3 and toks[1] == "=":
+                try:
+                    vals[toks[0]] = float(toks[2])
+                except ValueError:
+                    pass
+    planes = np.load(os.path.join(scene_path, "annotation", "planes.npy"),
+                     allow_pickle=True)
+    info = np.load(os.path.join(scene_path, "annotation", "plane_info.npy"),
+                   allow_pickle=True)
+    fx, fy = vals.get("fx_depth", 577.0), vals.get("fy_depth", 577.0)
+    cx, cy = vals.get("mx_depth", W / 2), vals.get("my_depth", H / 2)
+    return {
+        "scene_name": scene_name,
+        "camera_vec": np.array([fx, fy, cx, cy,
+                                vals.get("depthWidth", W), vals.get("depthHeight", H)]),
+        "camera_K": np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]]),
+        "num_images": int(vals.get("numDepthFrames", 0)) - 10,
+        "global_planes": np.asarray(planes, np.float64).reshape(-1, 3),
+        "plane_info": list(info),
+    }
+
+
+def build_view_record(scene_path: str, img_idx: int, scene: dict,
+                      plane_area_threshold: int = 800) -> Optional[dict]:
+    """Per-view half of the pair record (reference :616-736): decode the
+    plane segmentation, filter segments, transform the scene-frame plane
+    fits into the camera frame, clean the segmentation against measured
+    depth, and gate on coverage/plane-count/depth-consistency."""
+    from PIL import Image
+
+    pose_path = os.path.join(scene_path, "pose", f"{img_idx}.txt")
+    extr_inv = read_pose(pose_path)  # camera-to-world
+    if extr_inv is None or not np.all(np.isfinite(extr_inv)):
+        return None
+    extrinsics = np.linalg.inv(extr_inv)
+
+    seg_path = os.path.join(scene_path, "annotation", "segmentation", f"{img_idx}.png")
+    img_path = os.path.join(scene_path, "color", f"{img_idx}.jpg")
+    depth_path = os.path.join(scene_path, "depth", f"{img_idx}.png")
+    if not (os.path.exists(seg_path) and os.path.exists(depth_path)):
+        return None
+    seg = decode_segmentation_rgb(np.asarray(Image.open(seg_path).convert("RGB")))
+    depth = np.asarray(Image.open(depth_path), np.float32) / 1000.0
+    if os.path.exists(img_path):
+        image = np.asarray(
+            Image.open(img_path).convert("RGB").resize(depth.shape[::-1]), np.float64)
+    else:
+        image = np.full(depth.shape + (3,), 255.0)
+
+    global_planes = scene["global_planes"]
+    # segment filter pass 1 (reference :634-672): by area desc, valid fits
+    segments, counts = np.unique(seg, return_counts=True)
+    seg_list = sorted(
+        [(s, c) for s, c in zip(segments.tolist(), counts.tolist()) if s >= 0],
+        key=lambda x: -x[1])
+    new_seg = np.full(seg.shape, -1, np.int32)
+    new_planes, new_labels, new_gidx = [], [], []
+    for ori_idx, count in seg_list:
+        if count < plane_area_threshold or ori_idx >= len(global_planes):
+            continue
+        if np.linalg.norm(global_planes[ori_idx]) < 1e-4:
+            continue
+        new_seg[seg == ori_idx] = len(new_planes)
+        new_planes.append(global_planes[ori_idx])
+        pinfo = scene["plane_info"][ori_idx]
+        try:  # PlaneRCNN layout: plane_info[i][0] = (instance_id, label)
+            label = int(pinfo[0][1])
+        except (TypeError, IndexError, ValueError):
+            label = -1
+        new_labels.append(label)
+        new_gidx.append(ori_idx)
+    n = len(new_planes)
+    h, w = new_seg.shape
+    if n < 2 or n > 22 or (new_seg > -1).sum() / (h * w) < 0.7:
+        return None
+
+    # world -> camera with the ScanNet axis swap (reference :678-683)
+    extr = extrinsics.copy()
+    tmp = extr[1].copy()
+    extr[1] = extr[2]
+    extr[2] = -tmp
+    planes_cam = transform_planes(extr, np.asarray(new_planes))
+
+    # depth-based cleanup (reference cleanSegmentation call :685-691)
+    seg_clean = clean_segmentation(
+        image, planes_cam, new_labels, new_seg, depth, scene["camera_vec"],
+        plane_area_threshold=plane_area_threshold, plane_width_threshold=30.0)
+    kept = [s for s in np.unique(seg_clean) if s >= 0]
+    if len(kept) < 2:
+        return None
+
+    # plane-depth consistency gate (reference :697-711)
+    plane_depths = calc_plane_depths(planes_cam, scene["camera_vec"], w, h)
+    masks = seg_clean[None] == np.arange(n)[:, None, None]
+    plane_depth = (plane_depths * masks).sum(0)
+    plane_mask = masks.any(0) & (depth > 1e-4)
+    area = plane_mask.sum()
+    err = (np.abs(plane_depth - depth) * plane_mask).sum() / max(area, 1)
+    if err > 0.1 or (seg_clean > -1).sum() / (h * w) < 0.7:
+        return None
+
+    # final re-index (reference :721-734)
+    final_seg = np.full(seg_clean.shape, -1, np.int32)
+    final_planes, final_gidx = [], []
+    for s in kept:
+        if (seg_clean == s).sum() < plane_area_threshold:
+            continue
+        final_seg[seg_clean == s] = len(final_planes)
+        final_planes.append(planes_cam[s])
+        final_gidx.append(new_gidx[s])
+    if len(final_planes) < 2:
+        return None
+    return {
+        "img_idx": img_idx,
+        "file_name": img_path,
+        "extrinsics": extrinsics,
+        "extr_inv": extr_inv,
+        "planes_cam": np.asarray(final_planes),
+        "seg": final_seg,
+        "global_idx": final_gidx,
+    }
+
+
+def _polygons_from_mask(mask: np.ndarray):
+    """Polygon contours (reference polygonFromMask :183-196); None if cv2
+    is unavailable or the mask has no valid contour - callers fall back to
+    RLE, which the data mapper consumes equally (utils/rle.seg_to_mask)."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    contours, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_TREE,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    polys = [c.astype(float).flatten().tolist() for c in contours if c.size >= 6]
+    return polys or None
+
+
+def build_pair_record(view0: dict, view1: dict, scene: dict,
+                      anns_dir: Optional[str] = None) -> Optional[dict]:
+    """Two view records -> one cached_set pair entry + twoView_Anns pickles
+    (reference :737-882). Returns None when the correspondence-count or
+    overlap gates reject the pair."""
+    # GT correspondences: shared scene-level plane ids (reference :739-752)
+    gt_corrs = [[i, j]
+                for i, g0 in enumerate(view0["global_idx"])
+                for j, g1 in enumerate(view1["global_idx"]) if g0 == g1]
+    n0, n1 = len(view0["global_idx"]), len(view1["global_idx"])
+    if min(n0, n1) > 10 and len(gt_corrs) / min(n0, n1) > 0.7:
+        return None  # too-easy pair (reference :753-754)
+    if len(gt_corrs) < 3 or len(gt_corrs) > 7:
+        return None
+
+    position, rotation = relative_pose_habitat(view0["extr_inv"], view1["extr_inv"])
+    rel_pose = {"position": position, "rotation": rotation}
+
+    samples = []
+    for view in (view0, view1):
+        planes_cam = view["planes_cam"]
+        # annotation plane frame: (x, -z, y) permute (reference :801)
+        planes_anno = np.stack(
+            [planes_cam[:, 0], -planes_cam[:, 2], planes_cam[:, 1]], axis=-1)
+        seg = view["seg"]
+        annotations = []
+        masks = []
+        for pi in range(len(planes_anno)):
+            m = (seg == pi).astype(np.uint8)
+            masks.append(m)
+            r = rle_util.encode(np.asarray(m, order="F") > 0)
+            bbox = rle_util.to_bbox(r).tolist()
+            polys = _polygons_from_mask(m)
+            segmentation = polys if polys is not None else {
+                "size": list(r["size"]), "counts": r["counts"].decode("ascii")
+                if isinstance(r["counts"], bytes) else r["counts"]}
+            annotations.append({
+                "id": pi,
+                "image_id": "",
+                "category_id": 0,
+                "area": float(m.sum()),
+                "segmentation": segmentation,
+                "width": seg.shape[1],
+                "height": seg.shape[0],
+                "plane": planes_anno[pi].tolist(),
+                "iscrowd": 0,
+                "bbox": bbox,
+                "bbox_mode": 1,
+            })
+        img_id = f"{view['img_idx']}"
+        samples.append({
+            "image_id": scene["scene_name"] + "-" + img_id,
+            "file_name": view["file_name"],
+            "height": seg.shape[0],
+            "width": seg.shape[1],
+            "annotations": annotations,
+            "gt_plane_num": len(planes_anno),
+        })
+        if anns_dir is not None:
+            scene_dir = os.path.join(anns_dir, scene["scene_name"])
+            os.makedirs(scene_dir, exist_ok=True)
+            with open(os.path.join(scene_dir, img_id + ".pkl"), "wb") as f:
+                pickle.dump({"plane_masks": masks,
+                             "camera_K": scene["camera_K"]}, f)
+
+    return {"0": samples[0], "1": samples[1],
+            "rel_pose": rel_pose, "gt_corrs": gt_corrs}
+
+
+def candidate_pairs_by_pose_gap(scene_path: str, num_images: int,
+                                sample_step: int) -> List[Tuple[int, int]]:
+    """Reference pair mining (:204-306): sample every sample_step frames and
+    keep pairs whose pose gap satisfies (rot>15deg & t>0.2m) | (rot>10deg &
+    t>0.5m)."""
+    frames = []
+    for idx in range(0, max(num_images, 0), sample_step):
+        extr_inv = read_pose(os.path.join(scene_path, "pose", f"{idx}.txt"))
+        if extr_inv is None or not np.all(np.isfinite(extr_inv)):
+            continue
+        pos, quat = relative_pose_habitat(np.eye(4), extr_inv)
+        frames.append((idx, np.asarray(pos), np.asarray(quat)))
+    pairs = []
+    for a in range(len(frames)):
+        for b_i in range(a + 1, len(frames)):
+            i0, t0, q0 = frames[a]
+            i1, t1, q1 = frames[b_i]
+            dt = float(np.linalg.norm(t0 - t1))
+            dr = 2 * np.degrees(np.arccos(np.clip(abs(float(q0 @ q1)), -1.0, 1.0)))
+            if (dr > 15 and dt > 0.2) or (dr > 10 and dt > 0.5):
+                pairs.append((i0, i1))
+    return pairs
+
+
+def generate_scene_pairs(scene_path: str, sample_step: int = 20,
+                         max_per_scene: int = 40, max_hit_num: int = 1,
+                         anns_dir: Optional[str] = None) -> List[dict]:
+    """Full per-scene pipeline: mine candidates, assemble + gate records
+    (reference main loop :575-882, incl. per-frame hit caps)."""
+    scene = load_scene_info(scene_path)
+    if scene is None:
+        return []
+    cand = candidate_pairs_by_pose_gap(scene_path, scene["num_images"], sample_step)
+    hits: Dict[int, int] = {}
+    view_cache: Dict[int, Optional[dict]] = {}
+    records = []
+    for i0, i1 in cand:
+        if len(records) >= max_per_scene:
+            break
+        if hits.get(i0, 0) >= max_hit_num or hits.get(i1, 0) >= max_hit_num:
+            continue
+        views = []
+        for idx in (i0, i1):
+            if idx not in view_cache:
+                view_cache[idx] = build_view_record(scene_path, idx, scene)
+            if view_cache[idx] is None:
+                hits[idx] = hits.get(idx, 0) + 100
+            views.append(view_cache[idx])
+        if views[0] is None or views[1] is None:
+            continue
+        rec = build_pair_record(views[0], views[1], scene, anns_dir=anns_dir)
+        if rec is None:
+            continue
+        records.append(rec)
+        hits[i0] = hits.get(i0, 0) + 1
+        hits[i1] = hits.get(i1, 0) + 1
+    return records
+
+
+# ---------------------------------------------------------------------------
 # pipeline (requires raw ScanNet data)
 # ---------------------------------------------------------------------------
 
@@ -242,39 +539,57 @@ def mine_scene_pairs(scene_path: str, sample_step: int = 20,
 def main():
     parser = argparse.ArgumentParser(description="ScanNetv2 pair generator")
     parser.add_argument("--scans-dir", required=True)
-    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--output-dir", required=True,
+                        help="writes scannet_json/cached_set_<split>.json + twoView_Anns/")
+    parser.add_argument("--split", default="train", choices=["train", "test"])
     parser.add_argument("--split-file", default="", help="scene list, one per line")
-    parser.add_argument("--sample-step", type=int, default=20)
-    parser.add_argument("--max-pairs-per-scene", type=int, default=30)
     args = parser.parse_args()
 
+    # reference split policy (:519-545): first 1210 scenes train, rest test;
+    # train samples every 20 frames with 1 use per frame, test every 40 / 2
     if args.split_file:
         with open(args.split_file) as f:
             scenes = [s.strip() for s in f if s.strip()]
     else:
-        scenes = sorted(os.listdir(args.scans_dir))
+        all_scenes = sorted(os.listdir(args.scans_dir))
+        scenes = all_scenes[:1210] if args.split == "train" else all_scenes[1210:]
+    sample_step = 20 if args.split == "train" else 40
+    max_hit_num = 1 if args.split == "train" else 2
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    data = []
+    anns_dir = os.path.join(args.output_dir, "twoView_Anns")
+    data: List[dict] = []
+    trans_errs, rot_errs = [], []
     for scene in scenes:
         scene_path = os.path.join(args.scans_dir, scene)
         if not os.path.isdir(scene_path):
             continue
         try:
-            pairs = mine_scene_pairs(scene_path, args.sample_step)
+            records = generate_scene_pairs(
+                scene_path, sample_step=sample_step, max_hit_num=max_hit_num,
+                anns_dir=anns_dir)
         except (OSError, ValueError) as e:
             print(f"skip {scene}: {e}")
             continue
-        print(f"{scene}: {len(pairs)} candidate pairs")
-        # annotation assembly requires the PlaneRCNN-style plane fits
-        # (annotation/planes.npy + segmentation pngs); see the reference tool
-        # for the per-frame record layout reproduced by build_pair_record().
-        for idx0, idx1 in pairs[: args.max_pairs_per_scene]:
-            data.append({"scene": scene, "pair": [idx0, idx1]})
+        for rec in records:
+            trans_errs.append(float(np.linalg.norm(rec["rel_pose"]["position"])))
+            rot_errs.append(2 * np.degrees(np.arccos(
+                np.clip(abs(rec["rel_pose"]["rotation"][0]), -1.0, 1.0))))
+        data.extend(records)
+        print(f"{scene}: {len(records)} pairs (total {len(data)})")
 
-    out = os.path.join(args.output_dir, "candidate_pairs.json")
+    if trans_errs:
+        te, re_ = np.asarray(trans_errs), np.asarray(rot_errs)
+        print(f"Mean Error [tran, rot]: {te.mean():.2f}, {re_.mean():.2f}")
+        print(f"Median Error [tran, rot]: {np.median(te):.2f}, {np.median(re_):.2f}")
+        for tt, rr in ((1.0, 30), (0.5, 15), (0.2, 10), (0.1, 5)):
+            print(f"Accuracy [tran({tt}m), rot({rr}')]: "
+                  f"{(te < tt).mean() * 100:.1f}, {(re_ < rr).mean() * 100:.1f}")
+
+    json_dir = os.path.join(args.output_dir, "scannet_json")
+    os.makedirs(json_dir, exist_ok=True)
+    out = os.path.join(json_dir, f"cached_set_{args.split}.json")
     with open(out, "w") as f:
-        json.dump(data, f)
+        json.dump({"categories": [{"id": 0, "name": "plane"}], "data": data}, f)
     print(f"wrote {len(data)} pairs -> {out}")
 
 
