@@ -61,6 +61,25 @@ class MultiHeadAttention(nn.Module):
                         kernel_init=xavier_uniform, name="out_proj")(out)
 
 
+def _scan_unroll() -> int:
+    """Trace-time unroll factor for the layer scans.
+
+    On TPU, unrolling lets XLA software-pipeline the small per-layer
+    matmuls ([B,300,256]-sized) across layers instead of paying the
+    while-loop barrier per layer; parameters stay stacked along axis 0, so
+    checkpoints are identical. On CPU (tests) unroll=1 keeps single-core
+    compile time low. Override with NOPESAC_SCAN_UNROLL.
+    """
+    import os
+
+    import jax
+
+    v = os.environ.get("NOPESAC_SCAN_UNROLL")
+    if v:
+        return int(v)
+    return 6 if jax.default_backend() == "tpu" else 1
+
+
 class EncoderLayer(nn.Module):
     """Post-norm DETR encoder layer (transformer.py:155-199, normalize_before=False)."""
 
@@ -125,6 +144,7 @@ class Encoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
+            unroll=_scan_unroll(),
         )
         (src, _), _ = scan(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                            deterministic, self.dtype, name="layers")((src, pos), None)
@@ -200,6 +220,7 @@ class Decoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
+            unroll=_scan_unroll(),
         )
         _, inters = scan(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                          deterministic, self.dtype, name="layers")(
@@ -304,6 +325,7 @@ class LocalFeatureGNN(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_pairs,
+            unroll=_scan_unroll(),
         )
         (feat0, feat1, _, _), _ = scan(self.d_model, self.nhead, self.dtype, name="pairs")(
             (feat0, feat1, mask0, mask1), None)
