@@ -88,17 +88,37 @@ def main():
     parser.add_argument("--optimized-dict-path", required=True)
     parser.add_argument("--output-dir", default="vis_out")
     parser.add_argument("--num-data", type=int, default=10)
-    parser.add_argument("--height", type=int, default=480)
-    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--height", type=int, default=0,
+                        help="0 = infer from the prediction RLE masks")
+    parser.add_argument("--width", type=int, default=0)
     args = parser.parse_args()
 
     preds = load_predictions(args.rcnn_cached_file)
     with open(args.optimized_dict_path, "rb") as f:
         od = pickle.load(f)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    height, width = args.height, args.width
+    if not (height and width):
+        # infer the artifact resolution from the first stored RLE so the
+        # tool works on any eval run (smoke configs use small frames)
+        for p in preds:
+            for view in ("0", "1"):
+                for inst in p.get(view, {}).get("instances", []):
+                    seg = inst.get("segmentation")
+                    if isinstance(seg, dict) and "size" in seg:
+                        height, width = int(seg["size"][0]), int(seg["size"][1])
+                        break
+                if height:
+                    break
+            if height:
+                break
+        if not (height and width):
+            height, width = 480, 640
+
     n = len(preds) if args.num_data < 0 else min(args.num_data, len(preds))
     for idx in range(n):
-        vis_pair(idx, preds[idx], od[idx], args.output_dir, args.height, args.width)
+        vis_pair(idx, preds[idx], od[idx], args.output_dir, height, width)
         print(f"[{idx + 1}/{n}] wrote visualizations")
 
 
