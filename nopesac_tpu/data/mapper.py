@@ -128,6 +128,10 @@ class PairMapper:
     def view_targets(self, view: dict) -> Dict[str, np.ndarray]:
         nq, h, w = self.nq, self.h, self.w
         depth = np.zeros((h, w), np.float32)
+        if view.get("depth") is not None:
+            # in-memory depth (synthetic fixtures render analytic plane
+            # depth, data/synthetic.py; twin of the obs-pickle depth_sensor)
+            depth = np.asarray(view["depth"], np.float32)
         kmap = self.default_kmap
         masks = None
 
@@ -164,6 +168,16 @@ class PairMapper:
                 for m in masks
             ]).astype(np.uint8)
         gt_masks[:n] = masks[:n]
+        if n > 1:
+            # GT instance masks must be DISJOINT: the Q-loss segmap rewrite
+            # (losses/criterion.py:_q_loss_segmap) and the evaluator's seg
+            # maps sum per-pixel plane params assuming one plane per pixel.
+            # mp3d semantic maps / scannet pre-rendered segs are disjoint by
+            # construction; polygon/RLE-rasterised annotations can have
+            # 1-px overlaps - resolve them deterministically (first
+            # annotation wins, matching the semantic-map convention).
+            occ = np.cumsum(gt_masks[:n], axis=0)
+            gt_masks[:n] = np.where(occ - gt_masks[:n] > 0, 0, gt_masks[:n])
         gt_valid = np.zeros((nq,), bool)
         gt_valid[:n] = True
 

@@ -39,6 +39,29 @@ def _warp_plane_np(p, q, t):
     return scale * b
 
 
+def _rays(h: int, w: int) -> np.ndarray:
+    """K^-1 . xy1 ray map [3, H, W], matching PairMapper's default intrinsics
+    (mapper.py:29-37: focal 517.97 @ 640x480, pixel grid rescaled to w x h)."""
+    focal = 517.97
+    k = np.array([[focal, 0, 320.0], [0, focal, 240.0], [0, 0, 1.0]])
+    k_inv = np.linalg.inv(k)
+    x = (np.arange(w, dtype=np.float64) / w * 640.0)[None, :].repeat(h, 0)
+    y = (np.arange(h, dtype=np.float64) / h * 480.0)[:, None].repeat(w, 1)
+    xy1 = np.stack([x, y, np.ones((h, w))]).reshape(3, -1)
+    return (k_inv @ xy1).reshape(3, h, w)
+
+
+def _plane_depth(p: np.ndarray, rays: np.ndarray, max_depth: float = 10.0) -> np.ndarray:
+    """Analytic per-pixel plane depth offset/(n . ray) [H, W]
+    (tools/generate_scannetv2_data.py:41-67, mp3d frame: no axis permute).
+    Non-positive / too-far intersections are zeroed (invalid)."""
+    offset = np.linalg.norm(p)
+    normal = p / max(offset, 1e-10)
+    ntr = np.einsum("c,chw->hw", normal, rays)
+    depth = offset / np.where(np.abs(ntr) < 1e-4, 1e-4, ntr)
+    return np.where((depth > 0) & (depth <= max_depth), depth, 0.0).astype(np.float32)
+
+
 def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int = 640,
               pair_id: int = 0) -> dict:
     # relative pose: modest rotation + translation, w >= 0
@@ -50,11 +73,22 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
         q = -q
     t = rng.normal(size=3) * 0.5
 
+    rays = _rays(h, w)
+    cell_w, cell_h = w // 4, h // 3
+
+    def cell_center_ray(i: int) -> np.ndarray:
+        gx, gy = i % 4, (i // 4) % 3
+        return rays[:, gy * cell_h + cell_h // 2, gx * cell_w + cell_w // 2]
+
     views = {"0": [], "1": []}
     gt_corrs = []
     for i in range(n_planes):
         normal = rng.normal(size=3)
         normal /= np.linalg.norm(normal)
+        # flip so the plane faces the camera at its mask cell (positive
+        # analytic depth there, making loss_q / depth_l1 non-trivial)
+        if normal @ cell_center_ray(i) < 0:
+            normal = -normal
         offset = rng.uniform(0.5, 4.0)
         p0 = normal * offset
         # view-1 param: global frame of view1 is the identity warp (axis flip),
@@ -66,13 +100,14 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
 
     def build_view(idx: str, planes) -> dict:
         annos = []
-        cell_w, cell_h = w // 4, h // 3
+        depth = np.zeros((h, w), np.float32)
         for i, p in enumerate(planes):
             gx, gy = i % 4, (i // 4) % 3
             x0, y0 = gx * cell_w + 8, gy * cell_h + 8
             x1, y1 = x0 + cell_w - 16, y0 + cell_h - 16
             mask = np.zeros((h, w), np.uint8)
             mask[y0:y1, x0:x1] = 1
+            depth = np.where(mask > 0, _plane_depth(p, rays), depth)
             r = rle_util.encode(mask)
             annos.append({
                 "bbox": [x0, y0, x1, y1],
@@ -87,6 +122,9 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
             "height": h,
             "width": w,
             "annotations": annos,
+            # analytic plane depth (in-memory twin of the mp3d observation
+            # pickle's depth_sensor, planercnn_transforms.py:229-263)
+            "depth": depth,
         }
 
     return {

@@ -67,7 +67,13 @@ def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
     On TPU this dispatches to the fused Pallas kernel
     (ops/mask_loss_pallas.py) - no full-resolution [B,NQ,H,W] tensor ever
     reaches HBM; elsewhere it runs the naive upsample+elementwise chain
-    (identical math, tested against each other in tests/test_pallas_ops.py).
+    (same algebra, tested against each other in tests/test_pallas_ops.py).
+
+    Precision contract: the Pallas kernel runs the upsample matmuls in
+    bfloat16 with f32 accumulation, in both the forward and the recomputed
+    backward - with f32 inputs, TPU loss/gradients differ from the naive
+    path at the bf16 rounding level (~3e-2 gradient parity; MXU-speed
+    tradeoff, deliberate).
     """
     gh, gw = gt_masks.shape[-2:]
     if use_pallas is None:
@@ -333,7 +339,7 @@ def _q_loss_segmap(src_p, match, targets):
     gather that GT's (and its matched prediction's) rescaled params per
     pixel, and evaluate |p . X - 1| once per pixel - [B, H, W] work instead
     of [B, NQ, H, W] (50x less HBM traffic). Bitwise-equal to _q_loss on
-    disjoint masks (tests/test_core_geometry.py::test_q_loss_segmap_parity).
+    disjoint masks (tests/test_criterion.py::TestQLossSegmap).
 
     The per-pixel lookup is NOT a gather: TPU gathers with per-element
     dynamic indices serialise (measured 30x slower than the naive loss).

@@ -284,9 +284,11 @@ def fused_select_maps(mask_prob, score, valid, thr: float,
     """seg_ids [B,H,W] i32, max_scaled [B,H,W] f32, stats [B,7,NQ] f32.
 
     `use_pallas=None` picks the Pallas kernel on TPU, XLA elsewhere. The
-    Pallas path reads the probabilities in bfloat16 (VMEM economy); pass
-    bfloat16 inputs when comparing the two implementations.
+    Pallas kernel reads the probabilities in bfloat16 (VMEM economy), so the
+    probabilities are rounded to bfloat16 up front on BOTH paths - threshold
+    and argmax decisions near the boundary are then backend-independent.
     """
+    mask_prob = mask_prob.astype(jnp.bfloat16).astype(jnp.float32)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

@@ -55,7 +55,17 @@ class TestTrainLoop:
         bn1 = p1["backbone"]["stem_bn1"]["mean"]
         np.testing.assert_array_equal(bn0, bn1)
         # metrics were logged
-        assert os.path.exists(os.path.join(trainer.cfg.OUTPUT_DIR, "metrics.json"))
+        mpath = os.path.join(trainer.cfg.OUTPUT_DIR, "metrics.json")
+        assert os.path.exists(mpath)
+        # the synthetic fixture renders analytic plane depth, so the Q-loss
+        # (point-to-plane depth consistency, criterion.py:173-233) must be
+        # live end-to-end, not silently zero
+        import json
+
+        with open(mpath) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        assert rows and any(r.get("loss_q", 0.0) > 0.0 for r in rows), \
+            f"loss_q dead in metrics: {rows[-1] if rows else None}"
         # model_final checkpoint written
         assert trainer.checkpointer.latest() is not None
 
