@@ -150,18 +150,158 @@ def _make_detectron2() -> None:
     layers_mod.FrozenBatchNorm2d = FrozenBatchNorm2d
     layers_mod.get_norm = get_norm
 
+    # --- data / structures / modeling / logging (meta-arch import chain) ---
+    data_mod = types.ModuleType("detectron2.data")
+
+    class _Metadata:
+        def __init__(self):
+            self.__dict__["_d"] = {}
+
+        def __getattr__(self, k):
+            return self.__dict__["_d"].get(k)
+
+        def __setattr__(self, k, v):
+            self.__dict__["_d"][k] = v
+
+        def get(self, k, default=None):
+            return self.__dict__["_d"].get(k, default)
+
+        def set(self, **kw):
+            self.__dict__["_d"].update(kw)
+            return self
+
+    class _MetadataCatalog:
+        _store: dict = {}
+
+        @classmethod
+        def get(cls, name):
+            return cls._store.setdefault(name, _Metadata())
+
+    data_mod.MetadataCatalog = _MetadataCatalog
+
+    structures_mod = types.ModuleType("detectron2.structures")
+
+    class ImageList:
+        """Padded batch of images + per-image sizes (d2's public surface)."""
+
+        def __init__(self, tensor, image_sizes):
+            self.tensor = tensor
+            self.image_sizes = image_sizes
+
+        def __len__(self):
+            return len(self.image_sizes)
+
+        def __getitem__(self, idx):
+            h, w = self.image_sizes[idx]
+            return self.tensor[idx, ..., :h, :w]
+
+        @staticmethod
+        def from_tensors(tensors, size_divisibility=0, pad_value=0.0):
+            sizes = [(int(t.shape[-2]), int(t.shape[-1])) for t in tensors]
+            max_h = max(s[0] for s in sizes)
+            max_w = max(s[1] for s in sizes)
+            if size_divisibility > 1:
+                d = size_divisibility
+                max_h = (max_h + d - 1) // d * d
+                max_w = (max_w + d - 1) // d * d
+            batch = tensors[0].new_full(
+                (len(tensors), tensors[0].shape[0], max_h, max_w), pad_value)
+            for i, t in enumerate(tensors):
+                batch[i, :, : t.shape[-2], : t.shape[-1]].copy_(t)
+            return ImageList(batch, sizes)
+
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in kwargs.items():
+                self.set(k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def set(self, k, v):
+            self._fields[k] = v
+
+        def has(self, k):
+            return k in self._fields
+
+        def get(self, k):
+            return self._fields[k]
+
+        def __getattr__(self, k):
+            if k.startswith("_"):
+                raise AttributeError(k)
+            if k in self.__dict__.get("_fields", {}):
+                return self._fields[k]
+            raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            if k.startswith("_"):
+                super().__setattr__(k, v)
+            else:
+                self._fields[k] = v
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+    structures_mod.ImageList = ImageList
+    structures_mod.Instances = Instances
+
+    modeling_mod = types.ModuleType("detectron2.modeling")
+    modeling_mod.META_ARCH_REGISTRY = Registry("META_ARCH")
+    modeling_mod.SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
+    modeling_mod.build_backbone = None  # parity tests construct heads directly
+    modeling_mod.build_sem_seg_head = None
+
+    backbone_mod = types.ModuleType("detectron2.modeling.backbone")
+
+    class Backbone(nn.Module):
+        def output_shape(self):
+            return {}
+
+    backbone_mod.Backbone = Backbone
+
+    postproc_mod = types.ModuleType("detectron2.modeling.postprocessing")
+
+    def sem_seg_postprocess(result, img_size, output_height, output_width):
+        result = result[:, : img_size[0], : img_size[1]].expand(1, -1, -1, -1)
+        return torch.nn.functional.interpolate(
+            result, size=(output_height, output_width), mode="bilinear",
+            align_corners=False)[0]
+
+    postproc_mod.sem_seg_postprocess = sem_seg_postprocess
+
+    logger_mod = types.ModuleType("detectron2.utils.logger")
+    logger_mod.setup_logger = lambda *a, **k: __import__("logging").getLogger("d2")
+
     d2.utils = utils
     d2.config = config_mod
     d2.layers = layers_mod
+    d2.data = data_mod
+    d2.structures = structures_mod
+    d2.modeling = modeling_mod
     utils.registry = registry_mod
     utils.comm = comm_mod
+    utils.logger = logger_mod
+    modeling_mod.backbone = backbone_mod
+    modeling_mod.postprocessing = postproc_mod
 
     sys.modules["detectron2"] = d2
     sys.modules["detectron2.utils"] = utils
     sys.modules["detectron2.utils.registry"] = registry_mod
     sys.modules["detectron2.utils.comm"] = comm_mod
+    sys.modules["detectron2.utils.logger"] = logger_mod
     sys.modules["detectron2.config"] = config_mod
     sys.modules["detectron2.layers"] = layers_mod
+    sys.modules["detectron2.data"] = data_mod
+    sys.modules["detectron2.structures"] = structures_mod
+    sys.modules["detectron2.modeling"] = modeling_mod
+    sys.modules["detectron2.modeling.backbone"] = backbone_mod
+    sys.modules["detectron2.modeling.postprocessing"] = postproc_mod
 
 
 # -------------------------------------------------------------------- fvcore
@@ -244,6 +384,50 @@ def _make_quaternion() -> None:
     sys.modules["quaternion"] = q
 
 
+# ------------------------------------- pycocotools (backed by our C++ codec)
+def _make_pycocotools() -> None:
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from nopesac_tpu.utils import rle as _rle
+
+    pc = types.ModuleType("pycocotools")
+    mask_mod = types.ModuleType("pycocotools.mask")
+
+    def _one_or_many(fn):
+        def wrapped(objs, *a, **k):
+            if isinstance(objs, (list, tuple)):
+                return [fn(o, *a, **k) for o in objs]
+            return fn(objs, *a, **k)
+        return wrapped
+
+    def _encode(m):
+        if m.ndim == 3:  # fortran-order [h, w, n]
+            return [_rle.encode(np.asfortranarray(m[:, :, i])) for i in range(m.shape[2])]
+        return _rle.encode(np.asarray(m))
+
+    mask_mod.encode = _encode
+    mask_mod.decode = _one_or_many(_rle.decode)
+    mask_mod.area = _one_or_many(_rle.area)
+    mask_mod.toBbox = _one_or_many(_rle.to_bbox)
+    mask_mod.iou = _rle.iou
+    mask_mod.merge = _rle.merge
+    mask_mod.frPyObjects = lambda objs, h, w: objs  # used only on RLE inputs here
+    pc.mask = mask_mod
+    sys.modules["pycocotools"] = pc
+    sys.modules["pycocotools.mask"] = mask_mod
+
+
+def _make_torchvision() -> None:
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.0-stub"
+    tv._is_tracing = lambda: False
+    tv.ops = types.ModuleType("torchvision.ops")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv.ops
+
+
 def install() -> None:
     if "detectron2" not in sys.modules:
         _make_detectron2()
@@ -251,6 +435,10 @@ def install() -> None:
         _make_fvcore()
     if "quaternion" not in sys.modules:
         _make_quaternion()
+    if "pycocotools" not in sys.modules:
+        _make_pycocotools()
+    if "torchvision" not in sys.modules:
+        _make_torchvision()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
