@@ -231,7 +231,10 @@ class PairMapper:
             fname = view.get("file_name", "")
             if self.kind == "mp3d" and MP3D_PATH_PREFIX in fname:
                 fname = fname.replace(MP3D_PATH_PREFIX, self.root_dir)
-            if fname and os.path.exists(fname):
+            if view.get("image") is not None:
+                # in-memory image (synthetic fixtures render one per view)
+                img = np.asarray(view["image"], np.float32)
+            elif fname and os.path.exists(fname):
                 img = self._read_image(fname)
             else:
                 img = np.zeros((self.h, self.w, 3), np.float32)

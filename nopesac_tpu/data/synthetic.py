@@ -80,16 +80,28 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
         gx, gy = i % 4, (i // 4) % 3
         return rays[:, gy * cell_h + cell_h // 2, gx * cell_w + cell_w // 2]
 
+    # well-separated base normals on the camera-facing hemisphere: random
+    # normals collide (two planes within the 30deg/1m AP gates) often enough
+    # to make "perfect prediction" fixtures ambiguous under the merged
+    # "-mask" AP setting (eval.py EP tables), so plane i draws from a
+    # codebook direction with small jitter instead.
+    _ring = [(np.cos(a), np.sin(a)) for a in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
+    base_dirs = np.array(
+        [[0.0, 0.0, 1.0]] + [[0.72 * c, 0.72 * s, 0.69] for c, s in _ring]
+        + [[0.97 * c, 0.97 * s, 0.26] for c, s in _ring[::2]]
+    )
     views = {"0": [], "1": []}
     gt_corrs = []
     for i in range(n_planes):
-        normal = rng.normal(size=3)
+        normal = base_dirs[i % len(base_dirs)] + rng.normal(size=3) * 0.06
         normal /= np.linalg.norm(normal)
         # flip so the plane faces the camera at its mask cell (positive
         # analytic depth there, making loss_q / depth_l1 non-trivial)
         if normal @ cell_center_ray(i) < 0:
             normal = -normal
-        offset = rng.uniform(0.5, 4.0)
+        # stratified offsets: planes sharing a codebook direction stay >1m
+        # apart so no two planes sit inside the AP gates simultaneously
+        offset = 0.5 + 3.5 * ((i + rng.uniform(0.1, 0.9)) / max(n_planes, 1))
         p0 = normal * offset
         # view-1 param: global frame of view1 is the identity warp (axis flip),
         # so p1 = FLIP * warp(p0 through the pose)
@@ -101,13 +113,25 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
     def build_view(idx: str, planes) -> dict:
         annos = []
         depth = np.zeros((h, w), np.float32)
+        # deterministic rendered image: each plane's cell colored by its
+        # normal direction and shaded by inverse depth. Without this the
+        # views of every pair are identical (no files on disk -> zero
+        # images) and pair-specific targets (params/pose) are unlearnable -
+        # the overfit convergence check needs the input to determine the
+        # output.
+        image = np.zeros((h, w, 3), np.float32)
         for i, p in enumerate(planes):
             gx, gy = i % 4, (i // 4) % 3
             x0, y0 = gx * cell_w + 8, gy * cell_h + 8
             x1, y1 = x0 + cell_w - 16, y0 + cell_h - 16
             mask = np.zeros((h, w), np.uint8)
             mask[y0:y1, x0:x1] = 1
-            depth = np.where(mask > 0, _plane_depth(p, rays), depth)
+            d = _plane_depth(p, rays)
+            depth = np.where(mask > 0, d, depth)
+            normal = p / max(np.linalg.norm(p), 1e-8)
+            base = (normal * 0.5 + 0.5) * 255.0
+            shade = np.clip(1.0 / np.maximum(d, 0.25), 0.0, 1.0)[..., None]
+            image = np.where((mask > 0)[..., None], base[None, None, :] * shade, image)
             r = rle_util.encode(mask)
             annos.append({
                 "bbox": [x0, y0, x1, y1],
@@ -122,9 +146,11 @@ def make_pair(rng: np.random.Generator, n_planes: int = 6, h: int = 480, w: int 
             "height": h,
             "width": w,
             "annotations": annos,
-            # analytic plane depth (in-memory twin of the mp3d observation
-            # pickle's depth_sensor, planercnn_transforms.py:229-263)
+            # analytic plane depth + rendered RGB (in-memory twins of the
+            # mp3d observation pickle's depth_sensor / the image file,
+            # planercnn_transforms.py:229-263)
             "depth": depth,
+            "image": image.astype(np.uint8),
         }
 
     return {
