@@ -440,7 +440,12 @@ def install() -> None:
     if "torchvision" not in sys.modules:
         _make_torchvision()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference checkout has top-level modules
+        # named identically to ours (eval.py, train_NopeSAC.py, ...) and must
+        # not shadow them for tests that import the repo's CLIs (the repo
+        # root sits at sys.path[0] via conftest). Only `NopeSAC_Net.*` is
+        # resolved from here.
+        sys.path.append(REFERENCE_ROOT)
 
 
 install()

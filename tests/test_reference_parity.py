@@ -383,6 +383,93 @@ class TestMatchingHeadForward:
             np.asarray(ours)[sel], ref_scores.numpy()[sel], 5e-4)
 
 
+class TestCameraRefineForward:
+    """PlaneCamRefHead inference refine — one-plane hypotheses, scoring,
+    soft fusion — with the SAME weights on both sides."""
+
+    def test_refine_soft_parity(self, tmp_path):
+        from detectron2.layers import ShapeSpec
+
+        from NopeSAC_Net.modeling.camera_net.camera_head import PlaneCameraHead as RefCH
+
+        from nopesac_tpu.config.config import get_cfg
+        from nopesac_tpu.models.camera_head import (
+            PlaneCameraHead as OurCH, compute_sig_seq, warp_geo_sequence)
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+
+        cfg = get_cfg()
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        input_shape = {
+            f"res{i}": ShapeSpec(channels=c, stride=s)
+            for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
+        }
+        torch.manual_seed(1)
+        ref = RefCH(cfg, input_shape).eval()
+        ckpt = tmp_path / "ch.pth"
+        torch.save({"model": {f"camera_head_list.0.{k}": v
+                              for k, v in ref.state_dict().items()}}, str(ckpt))
+
+        rng = np.random.default_rng(9)
+        b, nq, m = 1, 50, 6
+        tf = rng.normal(size=(b, 256)).astype(np.float32)
+        rf = rng.normal(size=(b, 256)).astype(np.float32)
+        init_t = (rng.normal(size=(b, 3)) * 0.5).astype(np.float32)
+        init_r = rng.normal(size=(b, 4)).astype(np.float32)
+        init_r /= np.linalg.norm(init_r, axis=-1, keepdims=True)
+        geo_local = np.zeros((b, nq, 6), np.float32)
+        geo_local[:, :m] = (rng.normal(size=(b, m, 6)) * 1.5).astype(np.float32)
+        seq_valid = np.zeros((b, nq), bool)
+        seq_valid[:, :m] = True
+
+        # reference: geo warp + sig-seq exactly as forawrd_refineLoop does
+        # (camera_head.py:352-369), then the mangled inference refine
+        cams = {"tran": _t(init_t), "rot": _t(init_r)}
+        geo_global_ref = ref.get_gt_global_geo_sequence(_t(geo_local), pred_cams=cams)
+        cams_aux = {"tran": torch.zeros_like(cams["tran"]), "rot": cams["rot"]}
+        geo_global_aux = ref.get_gt_global_geo_sequence(_t(geo_local), pred_cams=cams_aux)
+        sig_ref = ((geo_global_ref[:, :, 0:1] * geo_global_aux[:, :, 0:1]) >= 0).float()
+        sig_ref = (sig_ref - 0.5) * 2.0
+        with torch.no_grad():
+            _, pred_cam = ref._PlaneCameraHead__inference_PlaneCamRefHead(
+                _t(tf), _t(rf), geo_global_ref,
+                geo_sequence_local=_t(geo_local), matched_nums=[m],
+                out_cam_type="soft", sig_seq=sig_ref,
+                initial_trans=_t(init_t), initial_rot=_t(init_r))
+
+        # ours: same pipeline through the batched refine kernel
+        our = OurCH(num_queries=nq)
+        geo_j = jnp.asarray(geo_local)
+        tran_j, rot_j = jnp.asarray(init_t), jnp.asarray(init_r)
+        geo_global = warp_geo_sequence(geo_j, tran_j, rot_j)
+        sig = compute_sig_seq(geo_j, tran_j, rot_j)
+        record("refine sig_seq (camera_head.py:367-368)",
+               np.asarray(sig), sig_ref.numpy(), 1e-6)
+        record("refine geo warp (camera_head.py:1335-1350)",
+               np.asarray(geo_global), geo_global_ref.numpy(), 2e-5)
+
+        args = (jnp.asarray(tf), jnp.asarray(rf), tran_j, rot_j, geo_j,
+                jnp.asarray(seq_valid), sig, geo_global, False)
+        variables = our.init(jax.random.PRNGKey(0), *args, method=OurCH.refine)
+        tree = import_torch_weights({"camera_head": variables["params"]}, str(ckpt))
+        out = our.apply({"params": tree["camera_head"]}, *args, method=OurCH.refine)
+
+        nt = len(ref.state_dict())
+        record(f"CamRefHead soft tran [{nt} torch tensors] (camera_head.py:925-1115)",
+               np.asarray(out["tran_soft"]), pred_cam["pred_trans"].numpy(), 2e-4)
+        record("CamRefHead soft rot (camera_head.py:925-1115)",
+               np.asarray(out["rot_soft"]), pred_cam["pred_rot"].numpy(), 2e-4)
+        record("CamRefHead hypothesis poses (camera_head.py:783-794)",
+               np.asarray(out["trans_all"])[:, : m + 1],
+               pred_cam["all_pred_trans"].numpy(), 2e-4)
+        record("CamRefHead hypothesis scores (camera_head.py:813-848)",
+               np.asarray(out["score_trans"])[:, : m + 1],
+               pred_cam["score_soft_offset"].numpy()[..., 0], 2e-4)
+        record("CamRefHead avg pose (camera_head.py:1045-1066)",
+               np.asarray(out["tran_avg_incl"]),
+               pred_cam["pred_trans_avg"].numpy(), 2e-4)
+
+
 def teardown_module(module):
     """Append this run's diffs where tools/parity_report.py can pick them up."""
     import json
