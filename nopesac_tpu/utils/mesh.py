@@ -66,7 +66,8 @@ def plane_to_mesh(mask: np.ndarray, plane: np.ndarray, k_inv_dot_xy1: np.ndarray
     colors = None
     if image is not None:
         colors = np.asarray(image, np.float64)[ys, xs] / 255.0
-    return {"verts": pts, "faces": faces, "vert_colors": colors}
+    return {"verts": pts, "faces": faces, "vert_colors": colors,
+            "pix_xy": np.stack([xs, ys], axis=1)}
 
 
 def planes_to_meshes(masks, planes, k_inv_dot_xy1, image=None, step: int = 2) -> List[Dict]:
@@ -123,6 +124,141 @@ def camera_frustum_mesh(position, rotation, scale: float = 0.3,
     verts = local @ r.T + np.asarray(position, np.float64)
     colors = np.tile(np.asarray(color, np.float64), (len(verts), 1))
     return {"verts": verts, "faces": faces, "vert_colors": colors}
+
+
+# ---------------------------------------------------------------------------
+# textured export (UV via plane-rectifying homography)
+# ---------------------------------------------------------------------------
+
+def plane_rectify_homography(plane: np.ndarray, k_matrix: Optional[np.ndarray] = None,
+                             image_hw=None):
+    """Projective map H [3,3]: image pixel (x, y, 1) -> 2D coords in the
+    plane's own frame.
+
+    Spec: utils/vis.py:150-180 fits this homography from 4 control points;
+    here it is derived in closed form. With F = diag(1,-1,-1) (suncg->habitat
+    ray flip), a masked pixel p back-projects to X = offset * F K^-1 p /
+    (n . F K^-1 p); its in-plane coordinates (a, b) along an orthonormal
+    basis (dir1, dir2) of the plane are projective in p:
+        (a, b, 1) ~ [offset*dir1^T; offset*dir2^T; n^T] F K^-1 p.
+
+    image_hw: when the image is not 640x480 and k_matrix is the default
+    MP3D intrinsics, pixel coords are rescaled to the 640x480 grid first -
+    the same convention as the mapper's ray map (data/mapper.py:29-37).
+    """
+    if k_matrix is None:
+        focal = 517.97
+        k_matrix = np.array([[focal, 0, 320.0], [0, focal, 240.0], [0, 0, 1.0]])
+        if image_hw is not None and tuple(image_hw) != (480, 640):
+            # ray(x, y) = K^-1 [x*640/w, y*480/h, 1]  =>  K_eff = S^-1 K,
+            # S = diag(640/w, 480/h, 1)
+            h_, w_ = image_hw
+            k_matrix = np.diag([w_ / 640.0, h_ / 480.0, 1.0]) @ k_matrix
+    plane = np.asarray(plane, np.float64) * SUNCG_TO_HABITAT
+    offset = np.linalg.norm(plane)
+    normal = plane / max(offset, 1e-8)
+    # orthonormal in-plane basis
+    seed = np.array([1.0, 0.0, 0.0])
+    if abs(normal @ seed) > 0.9:
+        seed = np.array([0.0, 1.0, 0.0])
+    dir1 = np.cross(seed, normal)
+    dir1 /= np.linalg.norm(dir1)
+    dir2 = np.cross(normal, dir1)
+    flip = np.diag([1.0, -1.0, -1.0])
+    k_inv = np.linalg.inv(np.asarray(k_matrix, np.float64))
+    return np.stack([offset * dir1, offset * dir2, normal]) @ flip @ k_inv
+
+
+def plane_texture_and_uvs(mesh: Dict, image: np.ndarray, plane: np.ndarray,
+                          k_matrix: Optional[np.ndarray] = None,
+                          target_size: int = 300):
+    """Rectified texture [T, T, 3] uint8 + per-vertex UVs [N, 2] for one
+    plane mesh (utils/vis.py:150-223: warpPerspective to a targetSize^2
+    texture, UVs with a flipped v axis)."""
+    import cv2
+
+    h = plane_rectify_homography(plane, k_matrix,
+                                 image_hw=np.asarray(image).shape[:2])
+    xy = np.asarray(mesh["pix_xy"], np.float64)  # [N, 2]
+    p = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)  # [N, 3]
+    ab = p @ h.T
+    ab = ab[:, :2] / ab[:, 2:3]
+    lo = ab.min(axis=0)
+    span = max(float((ab - lo).max()), 1e-6)
+    scale = target_size / span
+    shuffle = np.array([[scale, 0, -lo[0] * scale],
+                        [0, scale, -lo[1] * scale],
+                        [0, 0, 1.0]])
+    m = shuffle @ h
+    texture = cv2.warpPerspective(
+        np.asarray(image, np.uint8), m.astype(np.float64),
+        (target_size, target_size))
+    uv_px = (ab - lo) * scale
+    uvs = np.stack([uv_px[:, 0] / target_size, 1.0 - uv_px[:, 1] / target_size],
+                   axis=1)
+    return texture, uvs
+
+
+def planes_to_textured_meshes(masks, planes, k_inv_dot_xy1, image,
+                              k_matrix: Optional[np.ndarray] = None,
+                              step: int = 2, target_size: int = 300) -> List[Dict]:
+    """All plane instances -> meshes carrying {uvs, texture} for OBJ+MTL
+    export (the reference's headline qualitative output,
+    utils/vis.py:103-243)."""
+    out = []
+    for mask, plane in zip(masks, planes):
+        m = plane_to_mesh(np.asarray(mask) > 0, plane, k_inv_dot_xy1, image, step)
+        if m is None:
+            continue
+        tex, uvs = plane_texture_and_uvs(m, image, plane, k_matrix, target_size)
+        m["texture"] = tex
+        m["uvs"] = uvs
+        out.append(m)
+    return out
+
+
+def save_obj_textured(folder: str, prefix: str, meshes: List[Dict]) -> str:
+    """Write a textured OBJ + MTL + per-plane texture PNGs
+    (mesh_utils.py:132-271 save_obj). Meshes without a texture fall back to a
+    flat-gray material."""
+    os.makedirs(folder, exist_ok=True)
+    obj_path = os.path.join(folder, f"{prefix}.obj")
+    mtl_path = os.path.join(folder, f"{prefix}.mtl")
+    with open(obj_path, "w") as obj, open(mtl_path, "w") as mtl:
+        obj.write(f"mtllib {prefix}.mtl\n")
+        v_off, vt_off = 0, 0
+        for mi, m in enumerate(meshes):
+            name = f"{prefix}_plane{mi}"
+            tex = m.get("texture")
+            mtl.write(f"newmtl {name}\nKa 1.0 1.0 1.0\nKd 1.0 1.0 1.0\n"
+                      "Ks 0.0 0.0 0.0\nd 1.0\nillum 1\n")
+            if tex is not None:
+                tex_name = f"{prefix}_tex{mi}.png"
+                from PIL import Image
+
+                Image.fromarray(np.asarray(tex, np.uint8)).save(
+                    os.path.join(folder, tex_name))
+                mtl.write(f"map_Kd {tex_name}\n")
+            mtl.write("\n")
+
+            obj.write(f"o {name}\nusemtl {name}\n")
+            for v in m["verts"]:
+                obj.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            uvs = m.get("uvs")
+            if uvs is not None:
+                for uv in uvs:
+                    obj.write(f"vt {uv[0]:.6f} {uv[1]:.6f}\n")
+                for f_ in np.asarray(m["faces"], np.int64):
+                    a, b, c = f_ + 1
+                    obj.write(f"f {a + v_off}/{a + vt_off} {b + v_off}/{b + vt_off} "
+                              f"{c + v_off}/{c + vt_off}\n")
+                vt_off += len(uvs)
+            else:
+                for f_ in np.asarray(m["faces"], np.int64):
+                    a, b, c = f_ + 1
+                    obj.write(f"f {a + v_off} {b + v_off} {c + v_off}\n")
+            v_off += len(m["verts"])
+    return obj_path
 
 
 # ---------------------------------------------------------------------------
