@@ -81,9 +81,30 @@ class Evaluator:
             d["0"]["image_id"] + "__" + d["1"]["image_id"]: d for d in dataset_list
         }
         self.optimized_dict = None
+        # cached-camera fallback (reference eval.py:119-135): decodes the
+        # SparsePlanes kmeans-bin logits file as an alternative camera source
+        self.camera_branch = None
+        if args.camera_cached_file:
+            from nopesac_tpu.models.camera_branch import CameraBranch
+
+            kind = "scannet" if "scannet" in dataset else "mp3d"
+            self.camera_branch = CameraBranch(
+                dataset=kind, cached_logits_path=args.camera_cached_file)
         if args.num_data > 0:
             self.rcnn_data = self.rcnn_data[: args.num_data]
         self.sanity_check()
+
+    def get_camera_info(self, idx, tran_topk=0, rot_topk=0):
+        """Camera for pair idx from the cached-logits branch; topk == -1
+        returns the GT pose from the predictions themselves
+        (reference eval.py:191-195)."""
+        if tran_topk == -1 and rot_topk == -1:
+            gts = self.rcnn_data[idx]["camera"]["gts"]
+            return {"position": np.asarray(gts["tran"]).reshape(3),
+                    "rotation": np.asarray(gts["rot"]).reshape(4)}
+        key = self.rcnnidx2datasetkey(idx)
+        return self.camera_branch.cached_rel_camera(
+            [self.dataset_dict[key]], tran_topk, rot_topk)[0]
 
     def rcnnidx2datasetkey(self, idx):
         return (self.rcnn_data[idx]["0"]["image_id"] + "__"
@@ -222,6 +243,9 @@ class Evaluator:
         od = self.optimized_dict[idx]
         pred_corr = np.argwhere(np.asarray(od["best_assignment"]))
         pred_camera = od["best_camera"]
+        if pred_camera is None:
+            # cached-camera fallback (reference eval.py:370-375)
+            pred_camera = self.get_camera_info(idx, 0, 0)
         override = od.get("plane_param_override")
 
         identity = {"position": np.zeros(3), "rotation": np.array([1.0, 0, 0, 0])}
@@ -468,6 +492,18 @@ def main(args):
         print(f"reading from {args.optimized_dict_path}")
         with open(args.optimized_dict_path, "rb") as f:
             ev.optimized_dict = pickle.load(f)
+    elif ev.camera_branch is not None:
+        # no optimized dict: fall back to the cached-camera branch as the
+        # pose source (reference eval.py:119-135, camera_branch CACHED mode)
+        print("no optimized dict; using cached-camera branch poses")
+        ev.optimized_dict = {
+            idx: {
+                "best_camera": ev.get_camera_info(idx, 0, 0),
+                "best_assignment": np.zeros((1, 1)),
+                "plane_param_override": None,
+            }
+            for idx in range(len(ev.rcnn_data))
+        }
     else:
         print("Error: No optimized dict found!")
         return 1

@@ -43,6 +43,7 @@ class MP3DEvaluator:
     def __init__(self, dataset_name: str, cfg, distributed: bool = False,
                  output_dir: Optional[str] = None, dataset_list: Optional[List[dict]] = None):
         self.cfg = cfg
+        self.dataset_name = dataset_name
         self._distributed = distributed
         self._output_dir = output_dir or cfg.OUTPUT_DIR
         self.eval_full_scene = cfg.TEST.EVAL_FULL_SCENE
@@ -172,6 +173,22 @@ class MP3DEvaluator:
                     pickle.dump(predictions, f)
             with open(os.path.join(self._output_dir, "continuous.pkl"), "wb") as f:
                 pickle.dump(self.get_optimized_dict(predictions), f)
+            # per-image COCO json artifact (_siamese_to_coco,
+            # mp3d_evaluation.py:131-167 + detectron2coco.py:7-146)
+            try:
+                from ..data.registry import MetadataCatalog
+
+                from .coco_json import write_siamese_coco_json
+
+                meta = MetadataCatalog.get(self.dataset_name)
+                id_map = meta.get("thing_dataset_id_to_contiguous_id") or {}
+                write_siamese_coco_json(
+                    list(self.dataset_dict.values()), self._output_dir,
+                    thing_classes=meta.get("thing_classes") or ["plane"],
+                    contiguous_to_dataset_id={v: k for k, v in id_map.items()},
+                )
+            except Exception:
+                logger.exception("COCO json dump failed (non-fatal)")
 
         results: "OrderedDict" = OrderedDict()
         if "segm" in self._tasks:
@@ -355,18 +372,31 @@ class MP3DEvaluator:
                 stats[key]["matched"] += len(idxs)
                 stats[key]["correct"] += correct
 
+        # per-key tables (mp3d_evaluation.py:833-847); the reference returns
+        # whatever key iterated LAST - here the unprefixed metrics are
+        # deterministically the primary `pred_assignment` key, and every key
+        # additionally gets a `<key>/` prefixed copy.
+        matching_metrics = {}
+        per_key = {}
         for key in keys:
             c, m = stats[key]["correct"], stats[key]["matched"]
             precision = c / m if m else 0.0
             recall = c / all_gt if all_gt else 0.0
             f = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
-            matching_metrics = {
+            per_key[key] = {
                 "precision": precision, "recall": recall, "F-score": f,
                 "TP": c, "Pred. Num.": m, "GT Num.": all_gt,
             }
             self._log(f"Matching metrics ({key}): " + ", ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in matching_metrics.items()))
+                for k, v in per_key[key].items()))
+        primary = "pred_assignment" if "pred_assignment" in per_key else (
+            keys[-1] if keys else None)
+        if primary is not None:
+            matching_metrics.update(per_key[primary])
+        for key, m_ in per_key.items():
+            for k, v in m_.items():
+                matching_metrics[f"{key}/{k}"] = v
         return matching_metrics
 
     # ------------------------------------------------------------------

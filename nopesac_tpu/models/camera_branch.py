@@ -46,6 +46,36 @@ class CameraBranch:
     def class2quat(self, cls):
         return self.bins.class2quat(cls)
 
+    def cached_rel_camera(self, pair_dicts: List[dict], tran_topk: int = 0,
+                          rot_topk: int = 0) -> List[dict]:
+        """Decode the SparsePlanes cached-logits file for these pairs
+        (camera_branch.py:82-117: key = file_name0 + file_name1, fields
+        `keys`, `logits_sms` {tran, rot}, `gts` {tran, rot}).
+        topk == -1 selects the cached GT pose."""
+        assert self.cached is not None, "no --camera-cached-file loaded"
+        keys = list(self.cached["keys"])
+        out = []
+        for pair in pair_dicts:
+            key = pair["0"].get("file_name", "") + pair["1"].get("file_name", "")
+            idx = keys.index(key)
+            tl = np.asarray(self.cached["logits_sms"]["tran"][idx])
+            rl = np.asarray(self.cached["logits_sms"]["rot"][idx])
+            if tran_topk == -1:
+                tran, tran_p = np.asarray(self.cached["gts"]["tran"][idx]), 1.0
+            else:
+                ti = int(np.argsort(tl)[::-1][tran_topk])
+                tran, tran_p = self.class2xyz(ti), float(tl[ti])
+            if rot_topk == -1:
+                rot, rot_p = np.asarray(self.cached["gts"]["rot"][idx]), 1.0
+            else:
+                ri = int(np.argsort(rl)[::-1][rot_topk])
+                rot, rot_p = self.class2quat(ri), float(rl[ri])
+            out.append({"position": np.asarray(tran).reshape(3),
+                        "position_prob": tran_p,
+                        "rotation": np.asarray(rot).reshape(4),
+                        "rotation_prob": rot_p})
+        return out
+
     def get_rel_camera(self, pred_dicts: List[dict], tran_topk: int = 0,
                        rot_topk: int = 0) -> List[dict]:
         """Decode top-k binned camera for each prediction

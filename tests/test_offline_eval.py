@@ -85,8 +85,16 @@ def make_fake_artifacts(tmp_path, n_pairs=2):
     with open(cont, "wb") as f:
         pickle.dump(optimized, f)
     dsjson = str(tmp_path / "cached_set_synth.json")
+    # the synthetic fixtures carry an in-memory ndarray depth + rendered image per view
+    # (data/synthetic.py) which is not part of the cached_set JSON schema
+    data_json = [
+        {k: ({vk: vv for vk, vv in v.items() if vk not in ("depth", "image")}
+             if k in ("0", "1") else v)
+         for k, v in pair.items()}
+        for pair in data
+    ]
     with open(dsjson, "w") as f:
-        json.dump({"categories": [{"name": "plane", "id": 1}], "data": data}, f)
+        json.dump({"categories": [{"name": "plane", "id": 1}], "data": data_json}, f)
     return pth, cont, dsjson
 
 
@@ -125,6 +133,74 @@ class TestOfflineEval:
         m = ev.evaluate_matching_precision_recall()
         assert m["precision"] == 1.0
         assert m["recall"] == 1.0
+
+    def test_cached_camera_branch(self, artifacts, tmp_path):
+        """--camera-cached-file decodes kmeans-bin logits as the pose source
+        (reference eval.py:119-135 + camera_branch.py:82-117)."""
+        import eval as offline_eval
+        from nopesac_tpu.data.cam_bins import CameraBins
+
+        pth, cont, dsjson = artifacts
+        bins = CameraBins(dataset="mp3d")
+        # build a cached-logits file whose argmax bin is the GT pose's bin
+        args = make_args(pth, cont, dsjson)
+        ev0 = offline_eval.Evaluator(args, dataset="synth")
+        keys, tls, rls, gts_t, gts_r = [], [], [], [], []
+        for idx in range(len(ev0.rcnn_data)):
+            pair = ev0.dataset_dict[ev0.rcnnidx2datasetkey(idx)]
+            keys.append(pair["0"]["file_name"] + pair["1"]["file_name"])
+            gt = pair["rel_pose"]
+            tl = np.zeros(len(bins.trans_centers))
+            tl[bins.xyz2class(*gt["position"])] = 1.0
+            rl = np.zeros(len(bins.rots_centers))
+            rl[bins.quat2class(*gt["rotation"])] = 1.0
+            tls.append(tl)
+            rls.append(rl)
+            gts_t.append(gt["position"])
+            gts_r.append(gt["rotation"])
+        cam_file = str(tmp_path / "cached_cam.pkl")
+        with open(cam_file, "wb") as f:
+            pickle.dump({"keys": keys,
+                         "logits_sms": {"tran": np.stack(tls), "rot": np.stack(rls)},
+                         "gts": {"tran": gts_t, "rot": gts_r}}, f)
+
+        args = make_args(pth, cont, dsjson)
+        args.camera_cached_file = cam_file
+        ev = offline_eval.Evaluator(args, dataset="synth")
+        info = ev.get_camera_info(0, 0, 0)
+        assert info["position"].shape == (3,) and info["rotation"].shape == (4,)
+        # top-0 decodes the GT pose's bin centre
+        gt0 = ev.dataset_dict[ev.rcnnidx2datasetkey(0)]["rel_pose"]
+        np.testing.assert_allclose(
+            info["position"],
+            bins.class2xyz(int(bins.xyz2class(*gt0["position"]))), atol=1e-6)
+        # topk == -1 returns the GT pose itself
+        gt_info = ev.get_camera_info(0, -1, -1)
+        np.testing.assert_allclose(gt_info["position"], gt0["position"], atol=1e-6)
+
+    def test_coco_json_artifact(self, tmp_path):
+        """Per-image COCO json dump (detectron2coco.py:7-146 +
+        _siamese_to_coco dedup, mp3d_evaluation.py:131-167)."""
+        from nopesac_tpu.data.synthetic import make_dataset
+        from nopesac_tpu.evaluation.coco_json import write_siamese_coco_json
+
+        data = make_dataset(n_pairs=3, n_planes=4, h=96, w=128, seed=3)
+        path = write_siamese_coco_json(data, str(tmp_path), ["plane"])
+        with open(path) as f:
+            coco = json.load(f)
+        assert set(coco) == {"info", "images", "annotations", "categories", "licenses"}
+        # 3 pairs x 2 views, all unique image_ids
+        assert len(coco["images"]) == 6
+        assert len(coco["annotations"]) == 6 * 4
+        ann = coco["annotations"][0]
+        assert ann["id"] == 1 and ann["area"] > 0
+        assert len(ann["bbox"]) == 4 and "plane" in ann
+        assert isinstance(ann["segmentation"]["counts"], str)
+        # XYXY -> XYWH conversion happened (synthetic uses bbox_mode 0)
+        x0, y0, w_, h_ = ann["bbox"]
+        assert w_ > 0 and h_ > 0 and w_ < 128 and h_ < 96
+        # cached: second call reuses the file
+        assert write_siamese_coco_json(data, str(tmp_path), ["plane"]) == path
 
     def test_ap_perfect(self, artifacts):
         import eval as offline_eval
