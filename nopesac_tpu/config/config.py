@@ -275,6 +275,9 @@ def get_cfg() -> CfgNode:
     t = c.TEST = CfgNode()
     t.EVAL_PERIOD = 0
     t.EVAL_GT_BOX = False
+    # eval-loop device batch (TPU extension; the reference hardcodes bs=1 at
+    # inference, siamese_planeTR.py:340 - batching is our throughput lever)
+    t.IMS_PER_BATCH = 4
     t.OVERLAP_THRESHOLD = 0.6
     t.PLANE_SCORE_THRESHOLD = 0.6
     t.MASK_PROB_THRESHOLD = 0.5

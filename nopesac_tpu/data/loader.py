@@ -1,10 +1,13 @@
 """Batched data loading with background prefetch.
 
 Replaces detectron2's build_detection_{train,test}_loader
-(train_NopeSAC.py:73-85): python worker threads map pairs to fixed-shape
-numpy samples, collate, and (optionally) hand off to jax.device_put with a
-batch sharding. Multi-host: each process takes a strided shard of the
-dataset (index % num_shards == shard_id), like d2's per-rank sampler.
+(train_NopeSAC.py:73-85): pairs are mapped to fixed-shape numpy samples
+either in the producer thread (num_workers=0) or in a fork-based
+multiprocessing pool (num_workers>0, the DATALOADER.NUM_WORKERS semantics
+of the reference Base.yaml:30 - PIL decode + RLE + mask rasterisation are
+GIL-bound, so real hosts want processes). Collated batches are prefetched
+through a bounded queue. Multi-host: each process takes a strided shard of
+the dataset (index % num_shards == shard_id), like d2's per-rank sampler.
 """
 from __future__ import annotations
 
@@ -30,6 +33,7 @@ class PairLoader:
         shard_id: int = 0,
         prefetch: int = 2,
         infinite: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset[shard_id::num_shards] if num_shards > 1 else dataset
         self.mapper = mapper
@@ -39,6 +43,20 @@ class PairLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.infinite = infinite
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _map_chunk(self, chunk) -> list:
+        items = [self.dataset[i] for i in chunk]
+        if self.num_workers > 0:
+            if self._pool is None:
+                import multiprocessing as mp
+
+                # fork: the mapper + dataset are inherited, nothing pickled
+                # per item beyond the pair dict itself
+                self._pool = mp.get_context("fork").Pool(self.num_workers)
+            return self._pool.map(self.mapper, items)
+        return [self.mapper(d) for d in items]
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,8 +81,7 @@ class PairLoader:
                 chunk = idx[lo: lo + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
-                samples = [self.mapper(self.dataset[i]) for i in chunk]
-                q.put(collate(samples))
+                q.put(collate(self._map_chunk(chunk)))
             if not self.infinite:
                 q.put(None)
                 return
@@ -83,3 +100,6 @@ class PairLoader:
                 yield batch
         finally:
             stop.set()
+            if self._pool is not None:
+                self._pool.terminate()
+                self._pool = None

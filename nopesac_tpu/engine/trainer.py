@@ -136,7 +136,11 @@ class Trainer:
     """End-to-end trainer mirroring the reference CLI behaviour."""
 
     def __init__(self, cfg: CfgNode, dataset_list: Optional[List[dict]] = None,
-                 image_hw=(480, 640)):
+                 image_hw=(480, 640), num_devices: Optional[int] = None):
+        """num_devices: explicit device count (the CLI's --num-gpus). Fails
+        loudly when unsatisfiable, mirroring d2 launch() semantics
+        (reference train_NopeSAC.py:265-272); None = use all visible devices
+        that evenly divide the batch."""
         self.cfg = cfg
         self.image_hw = image_hw
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
@@ -147,7 +151,18 @@ class Trainer:
         import math
 
         n_dev = len(jax.devices())
-        n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+        if num_devices is not None:
+            if num_devices > n_dev:
+                raise ValueError(
+                    f"--num-gpus {num_devices} requested but only {n_dev} "
+                    f"device(s) visible")
+            if cfg.SOLVER.IMS_PER_BATCH % num_devices != 0:
+                raise ValueError(
+                    f"--num-gpus {num_devices} does not divide "
+                    f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH}")
+            n_use = num_devices
+        else:
+            n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
         self.mesh = make_mesh(n_use)
         if n_use != n_dev:
             logger.warning("using %d of %d devices (batch %d not divisible)",
@@ -181,6 +196,7 @@ class Trainer:
             shuffle=True, drop_last=True, seed=cfg.SEED,
             num_shards=jax.process_count(), shard_id=jax.process_index(),
             infinite=True,
+            num_workers=int(cfg.DATALOADER.NUM_WORKERS),
         )
 
     def _dump_config(self):
@@ -287,6 +303,9 @@ class Trainer:
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
             camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
+            # TEST.EVAL_GT_BOX: attach GT instances at eval time
+            # (planercnn_transforms.py:276-305)
+            eval_gt_box=bool(cfg.TEST.EVAL_GT_BOX),
         )
         evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list)
         h, w = self.image_hw
@@ -303,7 +322,7 @@ class Trainer:
                                            with_gt_geo=use_gt_matcher))
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
-        bs = 4
+        bs = int(cfg.TEST.IMS_PER_BATCH)
         for lo in range(0, len(dataset_list), bs):
             chunk = dataset_list[lo: lo + bs]
             samples = [mapper(d) for d in chunk]

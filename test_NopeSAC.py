@@ -36,7 +36,8 @@ def main(args):
     import nopesac_tpu.data.datasets  # noqa: F401
     from nopesac_tpu.engine.trainer import Trainer
 
-    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE))
+    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE),
+                      num_devices=args.num_gpus)
     trainer.resume_or_load(resume=args.resume)
     results = trainer.test()
     for k, v in (results or {}).items():

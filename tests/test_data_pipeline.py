@@ -72,3 +72,28 @@ class TestLoader:
         # sharded loader sees half the data
         loader2 = PairLoader(data, mapper, batch_size=2, num_shards=2, shard_id=0)
         assert len(list(loader2)) == 2
+
+
+def test_loader_worker_pool():
+    """num_workers>0 maps samples in a fork pool (DATALOADER.NUM_WORKERS
+    semantics, reference Base.yaml:30); batches identical to the in-thread
+    path."""
+    from nopesac_tpu.data.loader import PairLoader
+    from nopesac_tpu.data.mapper import PairMapper
+    from nopesac_tpu.data.synthetic import make_dataset
+
+    data = make_dataset(n_pairs=4, n_planes=3, h=48, w=64, seed=11)
+    mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(48, 64))
+    kw = dict(batch_size=2, shuffle=False, drop_last=True, infinite=False)
+    batches0 = list(PairLoader(data, mapper, num_workers=0, **kw))
+    batches2 = list(PairLoader(data, mapper, num_workers=2, **kw))
+    assert len(batches0) == len(batches2) == 2
+    for b0, b2 in zip(batches0, batches2):
+        for k in b0:
+            if k == "meta":
+                continue
+            if isinstance(b0[k], dict):
+                for sk in b0[k]:
+                    np.testing.assert_array_equal(b0[k][sk], b2[k][sk])
+            else:
+                np.testing.assert_array_equal(b0[k], b2[k])

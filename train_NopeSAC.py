@@ -26,8 +26,8 @@ def default_argument_parser():
     p.add_argument("--config-file", default="", metavar="FILE")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-only", action="store_true")
-    p.add_argument("--num-gpus", type=int, default=1,
-                   help="devices per machine (TPU chips)")
+    p.add_argument("--num-gpus", type=int, default=None,
+                   help="devices per machine (TPU chips); default: all visible")
     p.add_argument("--num-machines", type=int, default=1)
     p.add_argument("--machine-rank", type=int, default=0)
     p.add_argument("--dist-url", default="auto")
@@ -100,7 +100,8 @@ def main(args):
     if jax.process_index() == 0:
         copy_all_code(cfg.OUTPUT_DIR)
 
-    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE))
+    trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE),
+                      num_devices=args.num_gpus)
     if args.eval_only:
         trainer.resume_or_load(resume=args.resume)
         return trainer.test()
