@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: MP3D pair inference throughput on one chip.
+"""Benchmark: MP3D pair inference + train-step throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The primary metric stays inference pairs/sec/chip; the same line also carries
+train-step throughput and an MFU estimate (extras keys).
 
 Baseline note: the reference repo measures no throughput (inference is
-enforced bs=1 single-stream, siamese_planeTR.py:340). BASELINE.md records
-the driver target as >= 10x the reference GPU pairs/sec/chip; we take the
-reference single-GPU single-stream rate as ~10 pairs/sec (ResNet-50 + 12
-transformer layers + 18 GNN layers + 200 Sinkhorn iterations at bs=1) and
-report vs_baseline against that.
+enforced bs=1 single-stream, siamese_planeTR.py:340) and no GPU is available
+here to measure it, so REFERENCE_PAIRS_PER_SEC is an ASSUMED reference
+single-GPU single-stream rate (~10 pairs/s for ResNet-50 + 12 transformer
+layers + 18 GNN layers + 200 Sinkhorn iterations at bs=1) - labelled as such
+in the output (`baseline_is_assumed`).
 """
 import json
 import os
@@ -17,7 +19,8 @@ import time
 
 import numpy as np
 
-REFERENCE_PAIRS_PER_SEC = 10.0  # assumed reference GPU single-stream rate
+REFERENCE_PAIRS_PER_SEC = 10.0  # ASSUMED reference GPU single-stream rate
+TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip, for the MFU estimate
 
 
 def _t(msg, t0):
@@ -108,12 +111,138 @@ def main():
     pairs_per_sec = batch * iters / dt
     print(f"[bench] rtt={rtt*1e3:.1f}ms chain={dt:.3f}s "
           f"per-call={dt/iters*1e3:.2f}ms", file=sys.stderr, flush=True)
-    print(json.dumps({
+
+    train_stats = bench_train_step()
+    train_stats.update(bench_loader())
+
+    out = {
         "metric": "mp3d_pair_inference_throughput",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
-    }))
+        "baseline_is_assumed": True,
+        "baseline_note": f"reference GPU single-stream assumed {REFERENCE_PAIRS_PER_SEC} pairs/s (repo publishes none)",
+    }
+    out.update(train_stats)
+    print(json.dumps(out))
+
+
+def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
+    """Train-step throughput at the real training shapes (full loss zoo:
+    detection + matching + 5-branch camera refine), plus an MFU estimate
+    from XLA's own cost analysis. Returns a dict of extras for the bench
+    JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from nopesac_tpu.config.config import get_cfg
+    from nopesac_tpu.data.mapper import PairMapper, collate
+    from nopesac_tpu.data.synthetic import make_dataset
+    from nopesac_tpu.engine.optimizer import apply_freeze, build_optimizer
+    from nopesac_tpu.engine.trainer import build_model_from_cfg
+    from nopesac_tpu.engine.train_step import (
+        create_train_state, jit_train_step, make_train_step,
+    )
+    from nopesac_tpu.parallel.mesh import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    t0 = time.time()
+    cfg = get_cfg()
+    # the step-2 curriculum switches (full model) - spec train_mp3d_step2.yaml
+    cfg.MODEL.EMBEDDING_ON = True
+    cfg.MODEL.CAMERA_ON = True
+    cfg.MODEL.LOSS_CAMERA_ON = True
+    cfg.MODEL.LOSS_EMB_ON = True
+    cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+    cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+    cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+    cfg.MODEL.CAMERA_HEAD.RAND_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+
+    model = build_model_from_cfg(cfg, train_image_hw=(h, w))
+    data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)
+    mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
+    batch = collate([mapper(d) for d in data])
+    batch.pop("meta")
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        b, jax.random.PRNGKey(2), method=model.train_forward,
+    ))(batch)
+    tx = apply_freeze(build_optimizer(cfg, variables["params"]), variables["params"])
+    state = create_train_state(variables["params"], variables.get("batch_stats", {}), tx)
+    mesh = make_mesh(1)
+    step = jit_train_step(make_train_step(model, tx), mesh)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = shard_batch(batch, mesh)
+    rng = jax.device_put(jax.random.PRNGKey(3), NamedSharding(mesh, P()))
+    t0 = _t("train-step init", t0)
+
+    # warmup/compile; the optimizer chain makes every step's args distinct,
+    # defeating remote result caching, and fetching the final loss forces
+    # the whole chain through the tunnel
+    state, metrics = step(state, batch, rng)
+    _ = float(metrics["total_loss"])
+    t0 = _t("train-step compile + warmup", t0)
+
+    flops = None
+    try:
+        lowered = jax.jit(
+            make_train_step(model, tx), donate_argnums=(0,)
+        ).lower(state, batch, rng)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort on remote backends
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    iters = 20
+    t1 = time.perf_counter()
+    for _i in range(iters):
+        state, metrics = step(state, batch, rng)
+    total = float(metrics["total_loss"])  # forces the chain
+    dt = time.perf_counter() - t1
+    assert np.isfinite(total)
+    step_ms = dt / iters * 1e3
+    train_pairs = batch_size * iters / dt
+    mfu = None
+    if flops:
+        mfu = flops / (dt / iters) / TPU_V5E_PEAK_BF16_FLOPS
+    print(f"[bench] train {step_ms:.1f} ms/step, {train_pairs:.1f} pairs/s, "
+          f"flops/step={flops}, mfu={mfu}", file=sys.stderr, flush=True)
+    return {
+        "train_step_ms": round(step_ms, 2),
+        "train_pairs_per_sec": round(train_pairs, 2),
+        "train_batch": batch_size,
+        "train_flops_per_step": flops,
+        # vs the v5e bf16 MXU peak; the train step runs f32 master weights,
+        # so this is a conservative lower bound
+        "train_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+    }
+
+
+def bench_loader(h: int = 480, w: int = 640, seconds: float = 5.0):
+    """Host input-pipeline throughput: PairMapper pairs/s on synthetic
+    480x640 data (RLE decode + mask rasterisation + target build). The
+    device rate needs ~1x this per feeding thread; DATALOADER.NUM_WORKERS
+    forks a mapper pool on multi-core hosts (this box has one core)."""
+    from nopesac_tpu.data.mapper import PairMapper
+    from nopesac_tpu.data.synthetic import make_dataset
+
+    data = make_dataset(n_pairs=8, n_planes=6, h=h, w=w)
+    mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
+    mapper(data[0])  # warm caches
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        mapper(data[n % len(data)])
+        n += 1
+    rate = n / (time.perf_counter() - t0)
+    print(f"[bench] loader: {rate:.1f} pairs/s/core (480x640 map)",
+          file=sys.stderr, flush=True)
+    return {"loader_pairs_per_sec_per_core": round(rate, 2)}
 
 
 if __name__ == "__main__":
