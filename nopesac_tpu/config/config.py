@@ -181,6 +181,13 @@ def get_cfg() -> CfgNode:
     h.CONVS_DIM = 256
     h.DEEP_SUPERVISION = True
     h.NO_OBJECT_WEIGHT = 0.1
+    # transformer dropout (reference hardcodes 0.1, transformer.py). Exposed
+    # because tiny overfit fixtures need 0.0: with dropout on, extreme
+    # overfitting can converge to a degenerate solution where plane/no-plane
+    # classification keys off dropout noise instead of query content (the
+    # Hungarian matcher chases the per-step noise), leaving the deterministic
+    # eval forward with collapsed, query-independent class logits.
+    h.DROPOUT = 0.1
     h.DICE_WEIGHT = 1.0
     h.MASK_WEIGHT = 20.0
     h.PARAM_WEIGHT_L1 = 0.5
@@ -282,6 +289,12 @@ def get_cfg() -> CfgNode:
     t.PLANE_SCORE_THRESHOLD = 0.6
     t.MASK_PROB_THRESHOLD = 0.5
     t.EVAL_FULL_SCENE = False
+    # post-training precise-BN recompute (d2 TEST.PRECISE_BN semantics;
+    # see engine/precise_bn.py for why running averages are not enough).
+    # Default off for reference parity; synthetic configs enable it.
+    t.PRECISE_BN = CfgNode()
+    t.PRECISE_BN.ENABLED = False
+    t.PRECISE_BN.NUM_ITER = 200
     t.MATCHING_SCORE_THRESHOLD = 0.2
     t.POSE_REFINEMENT_WITH_GT_MATCHERS = False
     t.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS = False

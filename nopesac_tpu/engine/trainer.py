@@ -106,6 +106,7 @@ def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32, train_image_hw=None) -
         overlap_threshold=cfg.TEST.OVERLAP_THRESHOLD,
         matching_score_threshold=cfg.TEST.MATCHING_SCORE_THRESHOLD,
         inference_out_cam_type=cam.INFERENCE_OUT_CAM_TYPE,
+        transformer_dropout=h.get("DROPOUT", 0.1),
         loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
         loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
         loss_matching_on=cfg.MODEL.LOSS_EMB_ON,
@@ -284,8 +285,35 @@ class Trainer:
                     self.test()
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            self.state = self._precise_bn(self.state)
+            self.checkpointer.save(self.state, max_iter)  # overwrite periodic
         self.checkpointer.save(self.state, max_iter, name="model_final")
         return self.state
+
+    def _precise_bn(self, state):
+        """Recompute BN statistics with frozen params (TEST.PRECISE_BN)."""
+        from .precise_bn import recompute_batch_stats
+
+        if not jax.tree_util.tree_leaves(state.batch_stats):
+            return state
+        logger.info("precise-BN: recomputing batch statistics over <=%d batches",
+                    self.cfg.TEST.PRECISE_BN.NUM_ITER)
+        if self._loader is None:
+            self._loader = self._build_train_loader()
+
+        def batches():
+            it = iter(self._loader)
+            for _ in range(self.cfg.TEST.PRECISE_BN.NUM_ITER):
+                b = next(it, None)
+                if b is None:
+                    return
+                yield b
+
+        new_bs = recompute_batch_stats(
+            self.model, state.params, state.batch_stats, batches(),
+            num_iter=self.cfg.TEST.PRECISE_BN.NUM_ITER)
+        return state.replace(batch_stats=new_bs)
 
     # ------------------------------------------------------------------
     def test(self, dataset_list: Optional[List[dict]] = None, max_pairs: Optional[int] = None):

@@ -60,6 +60,7 @@ class PlaneTRNopeSAC(nn.Module):
     overlap_threshold: float = 0.6
     matching_score_threshold: float = 0.2
     inference_out_cam_type: str = "soft"
+    transformer_dropout: float = 0.1
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -89,6 +90,7 @@ class PlaneTRNopeSAC(nn.Module):
         self.plane_head = PlaneTRHead(
             num_queries=self.num_queries,
             depth_on=self.depth_on,
+            dropout=self.transformer_dropout,
             dtype=self.dtype,
             axis_name=self.axis_name,
         )
@@ -126,6 +128,18 @@ class PlaneTRNopeSAC(nn.Module):
         if self.camera_on:
             result["camera_init"] = self.camera_head.pixel_camera(feats, train)
         return result
+
+    def bn_stats_forward(self, images0, images1):
+        """Train-mode forward touching every BatchNorm layer (plane-head
+        top-down decoder + camera conv trunks) so `mutable=["batch_stats"]`
+        captures a batch-statistics update for each. Used by the precise-BN
+        recomputation (engine/precise_bn.py) after training; returns nothing
+        of interest."""
+        feats, out, _ = self.detect(
+            jnp.concatenate([images0, images1], axis=0), train=True)
+        if self.camera_on:
+            self.camera_head.pixel_camera(feats, train=True)
+        return out["pred_logits"].sum()
 
     # ------------------------------------------------------------------
     # training
