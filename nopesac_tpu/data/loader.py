@@ -45,16 +45,19 @@ class PairLoader:
         self.infinite = infinite
         self.num_workers = num_workers
         self._pool = None
+        if num_workers > 0:
+            import multiprocessing as mp
+
+            # fork: the mapper + dataset are inherited, nothing pickled per
+            # item beyond the pair dict itself. Forked HERE, from the main
+            # thread at construction, not lazily from the producer thread -
+            # fork() from a multi-threaded process can deadlock/abort the
+            # children on inherited locks (jax/XLA spin up many threads).
+            self._pool = mp.get_context("fork").Pool(num_workers)
 
     def _map_chunk(self, chunk) -> list:
         items = [self.dataset[i] for i in chunk]
-        if self.num_workers > 0:
-            if self._pool is None:
-                import multiprocessing as mp
-
-                # fork: the mapper + dataset are inherited, nothing pickled
-                # per item beyond the pair dict itself
-                self._pool = mp.get_context("fork").Pool(self.num_workers)
+        if self._pool is not None:
             return self._pool.map(self.mapper, items)
         return [self.mapper(d) for d in items]
 
@@ -100,6 +103,11 @@ class PairLoader:
                 yield batch
         finally:
             stop.set()
-            if self._pool is not None:
-                self._pool.terminate()
-                self._pool = None
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        self.close()

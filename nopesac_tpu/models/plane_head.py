@@ -60,6 +60,7 @@ class PlaneTRHead(nn.Module):
     center_on: bool = True
     depth_on: bool = False
     num_aux: int = 3  # decoder intermediates kept (hs[-3:], planeTR_head.py:140)
+    dropout: float = 0.1  # transformer dropout (reference transformer.py default)
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
@@ -76,7 +77,8 @@ class PlaneTRHead(nn.Module):
         src = src.reshape(b, hc * wc, self.hidden_dim)
 
         memory = Encoder(self.hidden_dim, self.nheads, self.enc_layers, dim_feedforward=1024,
-                         dtype=self.dtype, name="context_sa")(src, pos, deterministic=not train)
+                         dropout=self.dropout, dtype=self.dtype,
+                         name="context_sa")(src, pos, deterministic=not train)
 
         query_embed = self.param("query_embed", nn.initializers.normal(1.0),
                                  (self.num_queries, self.hidden_dim), jnp.float32)
@@ -84,8 +86,9 @@ class PlaneTRHead(nn.Module):
                                      (b, self.num_queries, self.hidden_dim))
         tgt = jnp.zeros_like(query_pos)
         hs = Decoder(self.hidden_dim, self.nheads, self.dec_layers, dim_feedforward=1024,
-                     dtype=self.dtype, name="decoder")(tgt, memory, pos, query_pos,
-                                                       deterministic=not train)
+                     dropout=self.dropout, dtype=self.dtype,
+                     name="decoder")(tgt, memory, pos, query_pos,
+                                     deterministic=not train)
         hs = hs[-self.num_aux:]  # [L, B, Q, C]
         if not train:
             # deep-supervision aux outputs feed only the training criterion;
