@@ -89,8 +89,10 @@ def main():
 
     # warmup / compile
     fb = jnp.asarray(0.0, jnp.float32)
+    _tc = time.time()
     fb = infer(variables, img0, img1, fb)
     _ = float(fb)
+    infer_compile_s = time.time() - _tc
     t0 = _t("bs=8 compile + warmup", t0)
 
     # measure the tunnel round-trip to subtract it from the chain total
@@ -122,6 +124,9 @@ def main():
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
         "baseline_is_assumed": True,
         "baseline_note": f"reference GPU single-stream assumed {REFERENCE_PAIRS_PER_SEC} pairs/s (repo publishes none)",
+        # compile+warmup wall time for the bs=8 inference graph (persistent
+        # cache at .jax_cache makes warm runs fast; cold = full XLA compile)
+        "infer_compile_warmup_s": round(infer_compile_s, 1),
     }
     out.update(train_stats)
     print(json.dumps(out))
@@ -183,8 +188,10 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
     # warmup/compile; the optimizer chain makes every step's args distinct,
     # defeating remote result caching, and fetching the final loss forces
     # the whole chain through the tunnel
+    _tc = time.time()
     state, metrics = step(state, batch, rng)
     _ = float(metrics["total_loss"])
+    train_compile_s = time.time() - _tc
     t0 = _t("train-step compile + warmup", t0)
 
     flops = None
@@ -221,6 +228,7 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
         # vs the v5e bf16 MXU peak; the train step runs f32 master weights,
         # so this is a conservative lower bound
         "train_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+        "train_compile_warmup_s": round(train_compile_s, 1),
     }
 
 

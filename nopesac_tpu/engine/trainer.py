@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 
 from ..config.config import CfgNode
@@ -165,6 +166,7 @@ class Trainer:
         else:
             n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
         self.mesh = make_mesh(n_use)
+        self._repl = NamedSharding(self.mesh, P())
         if n_use != n_dev:
             logger.warning("using %d of %d devices (batch %d not divisible)",
                            n_use, n_dev, cfg.SOLVER.IMS_PER_BATCH)
@@ -235,6 +237,11 @@ class Trainer:
             frozen_prefixes=tuple(self.cfg.MODEL.FREEZE),
         )
         self.state = create_train_state(params, variables.get("batch_stats", {}), self.tx)
+        # replicate onto the mesh NOW: the jitted step's inputs/outputs are
+        # NamedSharding(mesh, P()); feeding a SingleDeviceSharding state on
+        # the first call(s) makes jit compile a separate specialisation per
+        # placement (observed: the full train step compiled twice per run)
+        self.state = jax.device_put(self.state, self._repl)
         self.train_step = jit_train_step(make_train_step(self.model, self.tx), self.mesh)
 
     def _load_weights(self, params, path: str):
@@ -250,7 +257,7 @@ class Trainer:
         if resume:
             restored = self.checkpointer.restore(jax.device_get(self.state))
             if restored is not None:
-                self.state = jax.device_put(restored)
+                self.state = jax.device_put(restored, self._repl)
                 logger.info("resumed from step %d", int(self.state.step))
 
     # ------------------------------------------------------------------
@@ -313,7 +320,9 @@ class Trainer:
         new_bs = recompute_batch_stats(
             self.model, state.params, state.batch_stats, batches(),
             num_iter=self.cfg.TEST.PRECISE_BN.NUM_ITER)
-        return state.replace(batch_stats=new_bs)
+        # keep every state leaf on the mesh-replicated sharding (mixed
+        # placements retrigger train-step specialisation, see __init__)
+        return state.replace(batch_stats=jax.device_put(new_bs, self._repl))
 
     # ------------------------------------------------------------------
     def test(self, dataset_list: Optional[List[dict]] = None, max_pairs: Optional[int] = None):

@@ -525,6 +525,13 @@ class PlaneTRNopeSAC(nn.Module):
 
         rot_f = jnp.where(m <= 1, rot_avg, rot_f)
         tran_f = jnp.where(m <= 1, tran_avg, tran_f)
+        # exact unit quaternions at inference (reference F.normalize with
+        # eps=1e-12, camera_head.py:860,868): the training-path _nquat bounds
+        # its normalisation gradient by returning sub-unit outputs for
+        # |q| <= 1e-3, but no gradients flow here and the downstream gating /
+        # quat->R / angle-error math assumes unit norm.
+        rot_f = normalize(rot_f)
+        rot_avg = normalize(rot_avg)
         cameras["camera_avgRef0"] = {"tran": tran_avg, "rot": rot_avg}
         cameras["camera_softRef0"] = {"tran": tran_f, "rot": rot_f}
 

@@ -5,7 +5,7 @@ import pytest
 
 from nopesac_tpu.models.nopesac import PlaneTRNopeSAC
 
-H, W = 192, 256  # small but stride-32 divisible
+H, W = 96, 128  # small but stride-32 divisible
 NQ = 50
 B = 1
 
@@ -59,25 +59,29 @@ def make_batch(rng, b=B, h=H, w=W, ngt=4, ncorr=2):
 
 @pytest.fixture(scope="module")
 def model_and_vars():
-    model = PlaneTRNopeSAC(sinkhorn_iterations=10)  # fewer iters for test speed
+    # fewer sinkhorn iters / random AIM poses for test speed (single-core CPU
+    # execution dominates the suite; the graph structure is unchanged)
+    model = PlaneTRNopeSAC(sinkhorn_iterations=10, rand_bs=8)
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
-    variables = model.init(
+    # jit: eager (op-by-op) init costs minutes on the 1-core CPU box, the
+    # jitted graph hits the persistent compile cache
+    variables = jax.jit(lambda b: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch, jax.random.PRNGKey(2), method=model.train_forward,
-    )
+        b, jax.random.PRNGKey(2), method=model.train_forward,
+    ))(batch)
     return model, variables, batch
 
 
 class TestTrainForward:
     def test_losses_finite_and_complete(self, model_and_vars):
         model, variables, batch = model_and_vars
-        losses, _ = model.apply(
-            variables, batch, jax.random.PRNGKey(3),
+        losses, _ = jax.jit(lambda v, b: model.apply(
+            v, b, jax.random.PRNGKey(3),
             method=model.train_forward,
             mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(4)},
-        )
+        ))(variables, batch)
         # detection losses (final + 2 aux levels)
         for k in ["loss_ce", "loss_mask", "loss_dice", "loss_center_ins",
                   "loss_center_pixel", "loss_param_l1", "loss_param_cos", "loss_q",
@@ -108,7 +112,7 @@ class TestTrainForward:
             )
             return sum(jnp.asarray(v) for v in losses.values())
 
-        grads = jax.grad(loss_fn)(variables["params"])
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
         flat = jax.tree_util.tree_leaves(grads)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
         assert np.isfinite(total) and total > 0
@@ -122,10 +126,9 @@ class TestTrainForward:
 class TestInference:
     def test_shapes_and_cameras(self, model_and_vars):
         model, variables, batch = model_and_vars
-        out = model.apply(
-            variables, batch["image0"], batch["image1"],
-            method=model.inference, out_h=H, out_w=W,
-        )
+        out = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, method=model.inference, out_h=H, out_w=W,
+        ))(variables, batch["image0"], batch["image1"])
         v0 = out["view0"]
         assert v0["valid"].shape == (B, NQ)
         assert v0["seg_ids"].shape == (B, H, W)
@@ -178,10 +181,9 @@ class TestGTMatcherInference:
             "corr_idx2": jnp.asarray(np.tile(np.arange(NQ, dtype=np.int32), (B, 1))),
             "corr_valid": jnp.asarray(corr_valid),
         }
-        out = model.apply(
-            variables, batch["image0"], batch["image1"],
-            method=model.inference, out_h=H, out_w=W, gt_geo=gt_geo,
-        )
+        out = jax.jit(lambda v, a, b, g: model.apply(
+            v, a, b, method=model.inference, out_h=H, out_w=W, gt_geo=g,
+        ))(variables, batch["image0"], batch["image1"], gt_geo)
         # refinement consumed the GT corrs, not the predicted assignment
         assert int(np.asarray(out["num_matches"])[0]) == ncorr
         for cam in ["camera", "camera_softRef0", "camera_avgRef0"]:

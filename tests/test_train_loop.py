@@ -10,7 +10,8 @@ import pytest
 from nopesac_tpu.config.config import get_cfg
 from nopesac_tpu.data.synthetic import make_dataset
 
-H, W = 96, 128
+H, W = 64, 96  # smallest stride-32-divisible shape: single-core CPU
+# execution of the full train step dominates suite time, not coverage
 
 
 @pytest.fixture(scope="module")
