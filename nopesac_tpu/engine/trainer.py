@@ -230,13 +230,15 @@ class Trainer:
             )
         )(batch)
         params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
         if self.cfg.MODEL.WEIGHTS:
-            params = self._load_weights(params, self.cfg.MODEL.WEIGHTS)
+            params, batch_stats = self._load_weights(
+                params, self.cfg.MODEL.WEIGHTS, batch_stats)
         self.tx = apply_freeze(
             build_optimizer(self.cfg, params), params,
             frozen_prefixes=tuple(self.cfg.MODEL.FREEZE),
         )
-        self.state = create_train_state(params, variables.get("batch_stats", {}), self.tx)
+        self.state = create_train_state(params, batch_stats, self.tx)
         # replicate onto the mesh NOW: the jitted step's inputs/outputs are
         # NamedSharding(mesh, P()); feeding a SingleDeviceSharding state on
         # the first call(s) makes jit compile a separate specialisation per
@@ -244,14 +246,17 @@ class Trainer:
         self.state = jax.device_put(self.state, self._repl)
         self.train_step = jit_train_step(make_train_step(self.model, self.tx), self.mesh)
 
-    def _load_weights(self, params, path: str):
+    def _load_weights(self, params, path: str, batch_stats):
         if path.endswith(".pth") or path.endswith(".pkl"):
             from ..utils.torch_import import import_torch_weights
 
-            return import_torch_weights(params, path)
+            # batch_stats too: BN running means/vars live outside params in
+            # flax, and a trained torch checkpoint's stats are load-bearing
+            return import_torch_weights(params, path, batch_stats=batch_stats)
         restored = self.checkpointer.restore(
-            {"params": params}, path if os.path.exists(path) else None)
-        return restored["params"]
+            {"params": params, "batch_stats": batch_stats},
+            path if os.path.exists(path) else None)
+        return restored["params"], restored.get("batch_stats", batch_stats)
 
     def resume_or_load(self, resume: bool = False):
         if resume:

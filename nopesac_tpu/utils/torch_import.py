@@ -181,15 +181,38 @@ def _import_detr_stack(state, tree, torch_prefix, flax_prefix, n_layers,
     return count
 
 
-def import_torch_weights(params, path: str, strict: bool = False):
+def _import_conv_bn(state, tkey, fkey, put, put_bs):
+    """torch Sequential(Conv2d(bias=False), BatchNorm2d, act) -> flax ConvBN.
+
+    Conv kernel + BN affine go to params; BN running stats go to the
+    batch_stats collection (flax nn.BatchNorm keeps them separate).
+    """
+    if f"{tkey}.0.weight" in state:
+        put(f"{fkey}/Conv_0/kernel", t_conv(state[f"{tkey}.0.weight"]))
+    put(f"{fkey}/BatchNorm_0/scale", state.get(f"{tkey}.1.weight"))
+    put(f"{fkey}/BatchNorm_0/bias", state.get(f"{tkey}.1.bias"))
+    put_bs(f"{fkey}/BatchNorm_0/mean", state.get(f"{tkey}.1.running_mean"))
+    put_bs(f"{fkey}/BatchNorm_0/var", state.get(f"{tkey}.1.running_var"))
+
+
+def import_torch_weights(params, path: str, strict: bool = False,
+                         batch_stats=None):
     """Import a reference checkpoint into the flax params tree.
 
     Covers: d2 ResNet-50 backbone (exact), PlaneTR head (input proj,
-    encoder/decoder stacks incl. packed-qkv split, top_down FPN, output
-    MLPs), matching head (scanned GNN pairs), camera head (pixel decoder,
-    conv stacks, AIM + refine MLPs, shared trans/rots). Unmatched tensors
-    are reported. Validation against a released checkpoint requires the
-    checkpoint file (not vendored here); tests cover the layout transforms.
+    encoder/decoder stacks incl. packed-qkv split, top_down(+depth) FPN,
+    output MLPs), matching head (scanned GNN pairs), camera head
+    (MaskFormer pixel decoder, convs_backbone/trans/rots stacks, AIM +
+    refine MLPs, shared trans/rots). Unmatched tensors are reported.
+
+    When `batch_stats` (the flax batch_stats collection) is passed, BN
+    running means/vars of the trainable-BN modules (plane-head top_down /
+    top_down_depth, camera conv stacks — the reference's nn.BatchNorm2d at
+    planeTR_head.py:209-215 and camera_modules.py:36-48) are imported into
+    it and the function returns `(params, batch_stats)`. Without it only
+    the params tree is returned and running stats keep their init values —
+    fine for training from scratch, WRONG for eval of a trained torch
+    checkpoint.
     """
     import copy
 
@@ -200,12 +223,21 @@ def import_torch_weights(params, path: str, strict: bool = False):
     state = migrate_legacy_keys(load_torch_checkpoint(path))
     tree = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
     tree = copy.deepcopy(tree)
+    bstats = None
+    if batch_stats is not None:
+        bstats = jax.tree_util.tree_map(np.asarray, jax.device_get(batch_stats))
+        bstats = copy.deepcopy(bstats)
 
     n_loaded = 0
 
     def put(dst, v):
         nonlocal n_loaded
         if v is not None and _set(tree, dst, v, strict):
+            n_loaded += 1
+
+    def put_bs(dst, v):
+        nonlocal n_loaded
+        if bstats is not None and v is not None and _set(bstats, dst, v, strict):
             n_loaded += 1
 
     # ---- backbone
@@ -234,20 +266,18 @@ def import_torch_weights(params, path: str, strict: bool = False):
     put(f"{ph}/decoder/norm/bias",
         state.get("sem_seg_head.context2plane_decoder.norm.bias"))
 
-    # top_down laterals + up convs (conv_bn_relu: 0=conv, 1=bn)
-    td_map = {"c1_conv": "c1_conv", "c2_conv": "c2_conv", "c3_conv": "c3_conv",
-              "c4_conv": "c4_conv", "up_conv1": "up_conv1", "up_conv2": "up_conv2",
-              "up_conv3": "up_conv3"}
-    for tsrc, fdst in td_map.items():
-        put(f"{ph}/top_down/{fdst}/Conv_0/kernel",
-            t_conv(state[f"sem_seg_head.top_down.{tsrc}.0.weight"])
-            if f"sem_seg_head.top_down.{tsrc}.0.weight" in state else None)
-        for bsrc, bdst in (("weight", "scale"), ("bias", "bias")):
-            put(f"{ph}/top_down/{fdst}/BatchNorm_0/{bdst}",
-                state.get(f"sem_seg_head.top_down.{tsrc}.1.{bsrc}"))
-    put(f"{ph}/top_down/m4_conv/Conv_0/kernel",
-        t_conv(state["sem_seg_head.top_down.m_conv_dict.m4.0.weight"])
-        if "sem_seg_head.top_down.m_conv_dict.m4.0.weight" in state else None)
+    # top_down(+depth) laterals + up convs (conv_bn_relu: 0=conv, 1=bn,
+    # planeTR_head.py:209-252); m_conv_dict.m4 is the encoder-memory inject
+    for td in ("top_down", "top_down_depth"):
+        for name in ("c1_conv", "c2_conv", "c3_conv", "c4_conv",
+                     "up_conv1", "up_conv2", "up_conv3"):
+            _import_conv_bn(state, f"sem_seg_head.{td}.{name}",
+                            f"{ph}/{td}/{name}", put, put_bs)
+        _import_conv_bn(state, f"sem_seg_head.{td}.m_conv_dict.m4",
+                        f"{ph}/{td}/m4_conv", put, put_bs)
+    put(f"{ph}/depth/kernel", t_conv(state["sem_seg_head.depth.weight"])
+        if "sem_seg_head.depth.weight" in state else None)
+    put(f"{ph}/depth/bias", state.get("sem_seg_head.depth.bias"))
 
     # output heads (MLPs: layers.i.weight/bias -> Dense_i)
     for tname, fname, depth in (("plane_embedding", "plane_embedding", 3),
@@ -306,6 +336,32 @@ def import_torch_weights(params, path: str, strict: bool = False):
     # ---- camera head
     chp = "camera_head"
     cam = "camera_head_list.0"
+    # MaskFormer pixel decoder over res3..res5 (camera_modules.py:246-353):
+    # reference names layer_{idx+1}/adapter_{idx+1} with idx over channel-
+    # sorted [res3,res4,res5]; d2 Conv2d stores its GN as `.norm`
+    pd_map = {"layer_3": "layer_res5", "adapter_2": "adapter_res4",
+              "layer_2": "layer_res4", "adapter_1": "adapter_res3",
+              "layer_1": "layer_res3"}
+    for tsrc, fdst in pd_map.items():
+        put(f"{chp}/pixel_decoder/{fdst}/Conv_0/kernel",
+            t_conv(state[f"{cam}.pixel_decoder.{tsrc}.weight"])
+            if f"{cam}.pixel_decoder.{tsrc}.weight" in state else None)
+        put(f"{chp}/pixel_decoder/{fdst}/GroupNorm_0/scale",
+            state.get(f"{cam}.pixel_decoder.{tsrc}.norm.weight"))
+        put(f"{chp}/pixel_decoder/{fdst}/GroupNorm_0/bias",
+            state.get(f"{cam}.pixel_decoder.{tsrc}.norm.bias"))
+    put(f"{chp}/pixel_decoder/mask_features/kernel",
+        t_conv(state[f"{cam}.pixel_decoder.mask_features.weight"])
+        if f"{cam}.pixel_decoder.mask_features.weight" in state else None)
+    put(f"{chp}/pixel_decoder/mask_features/bias",
+        state.get(f"{cam}.pixel_decoder.mask_features.bias"))
+    # conv2d(+BN+LeakyReLU) stacks (camera_head.py:78-112); torch Sequential
+    # indices skip the parameterless MaxPool slots in convs_backbone
+    for sname, idxs in (("convs_backbone", (0, 1, 3, 4, 6, 7)),
+                        ("convs_trans", range(6)), ("convs_rots", range(6))):
+        for ci, ti in enumerate(idxs):
+            _import_conv_bn(state, f"{cam}.{sname}.{ti}",
+                            f"{chp}/{sname}/conv{ci}", put, put_bs)
     # shared pose regressors
     put(f"{chp}/trans/kernel", t_linear(state[f"{cam}.trans.weight"])
         if f"{cam}.trans.weight" in state else None)
@@ -342,4 +398,6 @@ def import_torch_weights(params, path: str, strict: bool = False):
         "imported %d tensors (of %d in checkpoint) from %s",
         n_loaded, len(state), path,
     )
+    if bstats is not None:
+        return tree, bstats
     return tree

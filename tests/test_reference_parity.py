@@ -470,6 +470,164 @@ class TestCameraRefineForward:
                pred_cam["pred_trans_avg"].numpy(), 2e-4)
 
 
+class TestPlaneHeadForward:
+    """Full PlaneTR detection head — sine pos-emb, 6-layer post-norm encoder,
+    6-layer pre-norm decoder, top_down(+depth) FPN with BatchNorm, and all
+    output branches — with the SAME weights AND BN running stats on both
+    sides (planeTR_head.py:24-252)."""
+
+    def test_forward_parity(self, tmp_path):
+        from detectron2.layers import ShapeSpec
+
+        from NopeSAC_Net.modeling.planeTR_net.planeTR_head import PlaneTRHead as RefPH
+
+        from nopesac_tpu.config.config import get_cfg
+        from nopesac_tpu.models.plane_head import PlaneTRHead as OurPH
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+
+        cfg = get_cfg()
+        cfg.MODEL.DEPTH_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+        input_shape = {
+            f"res{i}": ShapeSpec(channels=c, stride=s)
+            for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
+        }
+        torch.manual_seed(2)
+        ref = RefPH(cfg, input_shape)
+        # non-trivial BN running stats: makes the batch_stats import
+        # load-bearing (fresh modules have mean=0/var=1 on both sides, which
+        # would mask a stats-import gap entirely)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.data.normal_(0.0, 0.5)
+                m.running_var.data.uniform_(0.5, 1.5)
+        ref = ref.eval()
+        ckpt = tmp_path / "ph.pth"
+        torch.save({"model": {f"sem_seg_head.{k}": v
+                              for k, v in ref.state_dict().items()}}, str(ckpt))
+
+        rng = np.random.default_rng(4)
+        b = 2
+        dims = {"res2": (256, 32, 40), "res3": (512, 16, 20),
+                "res4": (1024, 8, 10), "res5": (2048, 4, 5)}
+        feats = {k: (rng.normal(size=(b, c, h, w)) * 0.5).astype(np.float32)
+                 for k, (c, h, w) in dims.items()}
+        with torch.no_grad():
+            ref_out, ref_hs = ref({k: _t(v) for k, v in feats.items()})
+
+        ours_mod = OurPH(depth_on=True)
+        feats_j = {k: jnp.asarray(np.transpose(v, (0, 2, 3, 1)))
+                   for k, v in feats.items()}
+        variables = ours_mod.init(jax.random.PRNGKey(0), feats_j)
+        params, bstats = import_torch_weights(
+            {"plane_head": variables["params"]}, str(ckpt),
+            batch_stats={"plane_head": variables.get("batch_stats", {})})
+        # sanity: the import touched both collections (leaf-by-leaf counting
+        # is unreliable — zero-init biases / unit LayerNorm scales are
+        # identical on both sides; the forward parity below with random
+        # weights AND perturbed running stats is the real completeness check)
+        n_ref = len(ref.state_dict())
+        changed = lambda a, b_: sum(
+            int(not np.allclose(x, y)) for x, y in zip(
+                jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, a)),
+                jax.tree_util.tree_leaves(b_)))
+        assert changed(variables["params"], params["plane_head"]) > 50
+        assert changed(variables.get("batch_stats", {}), bstats["plane_head"]) == \
+            len(jax.tree_util.tree_leaves(bstats["plane_head"]))
+        out, hs = ours_mod.apply(
+            {"params": params["plane_head"], "batch_stats": bstats["plane_head"]},
+            feats_j)
+
+        record(f"PlaneTRHead pred_logits [{n_ref} torch tensors] "
+               "(planeTR_head.py:116-192)",
+               np.asarray(out["pred_logits"]), ref_out["pred_logits"].numpy(), 2e-3)
+        record("PlaneTRHead decoder embedding hs (planeTR_head.py:137-140)",
+               np.asarray(hs), ref_hs.numpy(), 2e-3)
+        record("PlaneTRHead pred_params (planeTR_head.py:157)",
+               np.asarray(out["pred_params"]), ref_out["pred_params"].numpy(), 2e-3)
+        record("PlaneTRHead pred_centers (planeTR_head.py:159-160)",
+               np.asarray(out["pred_centers"]), ref_out["pred_centers"].numpy(), 1e-3)
+        record("PlaneTRHead pixel_centers (planeTR_head.py:161-162)",
+               np.asarray(out["pixel_centers"]),
+               np.transpose(ref_out["pixel_centers"].numpy(), (0, 2, 3, 1)), 1e-3)
+        record("PlaneTRHead mask logits einsum (planeTR_head.py:150)",
+               np.asarray(out["pred_mask_logits"]),
+               ref_out["pred_mask_logits"].numpy(), 5e-3)
+        record("PlaneTRHead pixel_depth (planeTR_head.py:163-165)",
+               np.asarray(out["pixel_depth"])[..., 0],
+               ref_out["pixel_depth"].numpy()[:, 0], 2e-3)
+
+
+class TestPixelCameraHeadForward:
+    """Pose Regression Network — MaskFormer pixel decoder, conv stacks with
+    BatchNorm, 4D correlation softmax, pose regressors — with the SAME
+    weights AND BN running stats on both sides (camera_head.py:641-683)."""
+
+    def test_forward_parity(self, tmp_path):
+        from detectron2.layers import ShapeSpec
+
+        from NopeSAC_Net.modeling.camera_net.camera_head import PlaneCameraHead as RefCH
+
+        from nopesac_tpu.config.config import get_cfg
+        from nopesac_tpu.models.camera_head import PlaneCameraHead as OurCH
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+
+        cfg = get_cfg()
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        input_shape = {
+            f"res{i}": ShapeSpec(channels=c, stride=s)
+            for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
+        }
+        torch.manual_seed(3)
+        ref = RefCH(cfg, input_shape)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.data.normal_(0.0, 0.5)
+                m.running_var.data.uniform_(0.5, 1.5)
+        ref = ref.eval()
+        ckpt = tmp_path / "pch.pth"
+        torch.save({"model": {f"camera_head_list.0.{k}": v
+                              for k, v in ref.state_dict().items()}}, str(ckpt))
+
+        # the conv stacks hardcode the 480x640 token geometry: corr channels
+        # = 15*20 = 300 (camera_head.py:97-105), so res3 must be 60x80
+        rng = np.random.default_rng(5)
+        b = 1
+        dims = {"res3": (512, 60, 80), "res4": (1024, 30, 40),
+                "res5": (2048, 15, 20)}
+        f1 = {k: (rng.normal(size=(b, c, h, w)) * 0.3).astype(np.float32)
+              for k, (c, h, w) in dims.items()}
+        f2 = {k: (rng.normal(size=(b, c, h, w)) * 0.3).astype(np.float32)
+              for k, (c, h, w) in dims.items()}
+        with torch.no_grad():
+            _, pred_cam, pose_feats = ref._PlaneCameraHead__forward_PixelCameraHead(
+                {k: _t(v) for k, v in f1.items()}, {k: _t(v) for k, v in f2.items()})
+
+        ours_mod = OurCH(num_queries=50)
+        feats_cat = {k: jnp.asarray(np.transpose(
+            np.concatenate([f1[k], f2[k]], 0), (0, 2, 3, 1))) for k in dims}
+        variables = ours_mod.init(jax.random.PRNGKey(0), feats_cat,
+                                  method=OurCH.pixel_camera)
+        params, bstats = import_torch_weights(
+            {"camera_head": variables["params"]}, str(ckpt),
+            batch_stats={"camera_head": variables.get("batch_stats", {})})
+        out = ours_mod.apply(
+            {"params": params["camera_head"], "batch_stats": bstats["camera_head"]},
+            feats_cat, method=OurCH.pixel_camera)
+
+        nt = len(ref.state_dict())
+        record(f"PixelCameraHead tran [{nt} torch tensors] (camera_head.py:641-683)",
+               np.asarray(out["tran"]), pred_cam["pred_trans"].numpy(), 1e-4)
+        record("PixelCameraHead rot (camera_head.py:666-667)",
+               np.asarray(out["rot"]), pred_cam["pred_rot"].numpy(), 1e-4)
+        record("PixelCameraHead trans_feat (camera_head.py:653-657)",
+               np.asarray(out["tran_feat"]), pose_feats["trans_feat"].numpy(), 1e-4)
+        record("PixelCameraHead rots_feat (camera_head.py:659-662)",
+               np.asarray(out["rot_feat"]), pose_feats["rots_feat"].numpy(), 1e-4)
+
+
 def teardown_module(module):
     """Append this run's diffs where tools/parity_report.py can pick them up."""
     import json

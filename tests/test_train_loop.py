@@ -70,6 +70,38 @@ class TestTrainLoop:
         # model_final checkpoint written
         assert trainer.checkpointer.latest() is not None
 
+    def test_torch_weights_load_params_and_stats(self, trainer, tmp_path):
+        """MODEL.WEIGHTS=*.pth flows through import_torch_weights into BOTH
+        the params tree and the batch_stats collection (BN running stats are
+        load-bearing for eval of trained torch checkpoints)."""
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(11)
+        qe = rng.normal(size=(50, 256)).astype(np.float32)
+        c1_mean = rng.normal(size=(256,)).astype(np.float32)
+        ckpt = tmp_path / "w.pth"
+        torch.save({"model": {
+            "sem_seg_head.query_embed.weight": torch.from_numpy(qe),
+            "sem_seg_head.top_down.c1_conv.1.running_mean": torch.from_numpy(c1_mean),
+        }}, str(ckpt))
+
+        cfg = trainer.cfg.clone()
+        cfg.defrost()
+        cfg.MODEL.WEIGHTS = str(ckpt)
+        cfg.OUTPUT_DIR = str(tmp_path / "out")
+        cfg.freeze()
+        from nopesac_tpu.engine.trainer import Trainer
+
+        data = make_dataset(n_pairs=2, n_planes=4, h=H, w=W, seed=6)
+        t2 = Trainer(cfg, dataset_list=data, image_hw=(H, W))
+        got_qe = np.asarray(jax.device_get(
+            t2.state.params["plane_head"]["query_embed"]))
+        np.testing.assert_allclose(got_qe, qe, atol=1e-6)
+        got_mean = np.asarray(jax.device_get(
+            t2.state.batch_stats["plane_head"]["top_down"]["c1_conv"]
+            ["BatchNorm_0"]["mean"]))
+        np.testing.assert_allclose(got_mean, c1_mean, atol=1e-6)
+
     def test_checkpoint_roundtrip(self, trainer):
         state = trainer.state
         restored = trainer.checkpointer.restore(jax.device_get(state))
