@@ -115,6 +115,10 @@ class MP3DEvaluator:
                 for key in out:
                     if "assignment" in key:
                         prediction[key] = np.asarray(out[key])
+                if out.get("pred_aff") is not None:
+                    # soft affinity for the vis CLI's stitched figure
+                    # (reference stores it when present, mp3d_evaluation.py:254)
+                    prediction["pred_aff"] = np.asarray(out["pred_aff"])
             self._predictions.append(prediction)
 
     # ------------------------------------------------------------------

@@ -93,7 +93,14 @@ def postprocess_batch(infer_out: Dict, metas: List[dict], height: int = 480,
             "1": None if "depth1" not in infer_out or infer_out["depth1"] is None
             else np.asarray(infer_out["depth1"][b])[..., 0],
         }
+        # soft matching affinity over the kept planes (exp of the Sinkhorn
+        # log-OT scores, dustbin dropped). The reference wires pred_aff but
+        # always passes None through this path (siamese_planeTR.py:373,426);
+        # populating it feeds the stitched-affinity figure in vis_NopeSAC.
         res["pred_aff"] = None
+        if "log_scores" in infer_out:
+            aff = np.exp(np.asarray(infer_out["log_scores"][b], np.float64))
+            res["pred_aff"] = aff[np.ix_(keep0, keep1)].astype(np.float32)
 
         if "cameras" in infer_out:
             for key, cam in infer_out["cameras"].items():

@@ -11,6 +11,21 @@ import numpy as np
 SUNCG_TO_HABITAT = np.array([1.0, -1.0, -1.0])
 
 
+def get_coordinate_map(h: int = 480, w: int = 640, k_matrix=None) -> np.ndarray:
+    """K^-1 @ [x, y, 1] ray map, [3, h, w] — numpy twin of
+    core/geometry.get_coordinate_map (siamese_planeTR.py:815-839) so pure
+    host tools (vis CLI) never touch a jax backend."""
+    if k_matrix is None:
+        focal = 517.97
+        k_matrix = np.array(
+            [[focal, 0.0, 320.0], [0.0, focal, 240.0], [0.0, 0.0, 1.0]], np.float64)
+    k_inv = np.linalg.inv(np.asarray(k_matrix, np.float64))
+    x = np.tile((np.arange(w, dtype=np.float64) / w * 640.0)[None, :], (h, 1))
+    y = np.tile((np.arange(h, dtype=np.float64) / h * 480.0)[:, None], (1, w))
+    xy1 = np.stack([x, y, np.ones((h, w))], axis=0).reshape(3, -1)
+    return (k_inv @ xy1).reshape(3, h, w).astype(np.float32)
+
+
 def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
     """[..., 4] -> [..., 3, 3] (does not normalise)."""
     q = np.asarray(q, dtype=np.float64)

@@ -98,8 +98,7 @@ def draw_match(image0: np.ndarray, image1: np.ndarray, masks0, masks1,
 
 
 def save_affinity(affinity: np.ndarray, path: str) -> None:
-    """Affinity/assignment matrix as a grayscale image
-    (visualization.py:53, save_affinity_after_stitch)."""
+    """Affinity/assignment matrix as a grayscale image (quick raw dump)."""
     from PIL import Image
 
     a = np.asarray(affinity, np.float64)
@@ -107,3 +106,39 @@ def save_affinity(affinity: np.ndarray, path: str) -> None:
     Image.fromarray((a * 255).astype(np.uint8)).resize(
         (a.shape[1] * 8, a.shape[0] * 8), Image.NEAREST
     ).save(path)
+
+
+def save_affinity_stitched(affinity: np.ndarray, sz_i: int, sz_j: int,
+                           matching, path: str) -> None:
+    """Annotated affinity heatmap: per-cell scores plus '*' on the selected
+    matches, padded to a 5/10-aligned square like the reference figure
+    (visualization.py:53-86, save_affinity_after_stitch; matplotlib
+    replaces the seaborn dependency)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    a = np.asarray(affinity, np.float64)
+    max_sz = max(sz_i, sz_j)
+    max_sz = 5 if max_sz < 5 else (10 if max_sz < 10 else max_sz)
+    max_sz = min(max_sz, a.shape[0], a.shape[1])
+    vis = a[:max_sz, :max_sz]
+    matched = {(i, int(j)) for i, j in enumerate(np.asarray(matching).tolist())
+               if int(j) != -1}
+
+    fig, ax = plt.subplots(figsize=(max(4, max_sz * 0.6),) * 2)
+    im = ax.imshow(vis, vmin=0.0, vmax=1.0, cmap="rocket"
+                   if "rocket" in plt.colormaps() else "magma")
+    fig.colorbar(im, ax=ax)
+    for i in range(max_sz):
+        for j in range(max_sz):
+            if i < sz_i and j < sz_j:
+                star = "*\n" if (i, j) in matched else ""
+                ax.text(j, i, f"{star}{vis[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7, color="w" if vis[i, j] < 0.5 else "k")
+    ax.set_xticks(range(max_sz))
+    ax.set_yticks(range(max_sz))
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)

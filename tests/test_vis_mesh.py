@@ -93,6 +93,16 @@ class TestVis2D:
         out = draw_match(img, img, [m0, m1], [m1, m0], np.array([[0, 1], [1, 0]]))
         assert out.shape == (h, 2 * w, 3)
 
+    def test_affinity_stitched(self, tmp_path):
+        from nopesac_tpu.visualization.vis2d import save_affinity_stitched
+
+        rng = np.random.default_rng(0)
+        aff = rng.uniform(size=(7, 4)).astype(np.float32)
+        matching = np.array([1, -1, 0, 3, -1, 2, -1])
+        path = str(tmp_path / "aff.png")
+        save_affinity_stitched(aff, 7, 4, matching, path)
+        assert os.path.exists(path) and os.path.getsize(path) > 1000
+
     def test_create_instances_filters(self):
         preds = [
             {"score": 0.9, "category_id": 0, "segmentation": {"size": [4, 4], "counts": b"04"}},

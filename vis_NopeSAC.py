@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from nopesac_tpu.core.geometry import get_coordinate_map
+from nopesac_tpu.utils.np_geometry import get_coordinate_map
 from nopesac_tpu.utils import rle as rle_util
 from nopesac_tpu.utils.mesh import (
     camera_frustum_mesh,
@@ -40,7 +40,7 @@ from nopesac_tpu.utils.mesh import (
     save_obj_textured,
     transform_mesh,
 )
-from nopesac_tpu.visualization.vis2d import draw_match
+from nopesac_tpu.visualization.vis2d import draw_match, save_affinity_stitched
 
 
 def load_predictions(path: str):
@@ -91,7 +91,18 @@ def vis_pair(idx, pred, od, out_dir, h=480, w=640, gt_pair=None,
 
     Image.fromarray(match_img).save(os.path.join(out_dir, f"{idx}_matching.png"))
 
-    kmap = np.asarray(get_coordinate_map(h=h, w=w))
+    # stitched-affinity heatmap: per-cell Sinkhorn scores + '*' on selected
+    # matches (reference visualization.py:53-86, save_affinity_after_stitch)
+    if pred.get("pred_aff") is not None:
+        aff = np.asarray(pred["pred_aff"])
+        ass = np.asarray(od["best_assignment"])
+        matching = np.full(aff.shape[0], -1, np.int64)
+        rows, cols = np.nonzero(ass)
+        matching[rows] = cols
+        save_affinity_stitched(aff, aff.shape[0], aff.shape[1], matching,
+                               os.path.join(out_dir, f"{idx}_affinity_pred.png"))
+
+    kmap = get_coordinate_map(h=h, w=w)
     pred_cam = od["best_camera"]
     gt_cam = od["gt_camera"]
 
