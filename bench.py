@@ -168,6 +168,16 @@ def main():
         "platform": "cpu-fallback (TPU unavailable)" if FELL_BACK_TO_CPU
                     else jax.devices()[0].platform,
     }
+    # one-time measured torch-CPU reference rate (tools/bench_reference_cpu.py)
+    ref_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "reference_cpu_bench.json")
+    if os.path.exists(ref_json):
+        try:
+            with open(ref_json) as f:
+                rj = json.load(f)
+            out["reference_cpu_measured_pairs_per_sec"] = rj.get("value")
+        except (ValueError, OSError):
+            pass
     out.update(train_stats)
     print(json.dumps(out))
 
