@@ -15,10 +15,17 @@ from ..core.geometry import canonicalize_quat_sign, normalize, quat_from_rotvec,
 
 
 def camera_pose_loss(est_tran, est_rot, gt_pose):
-    """(mean ||dt||, mean ||normalize(q)-normalize(q_gt)||) — camera_modules.py:360-367."""
+    """(mean ||dt||, mean ||normalize(q)-normalize(q_gt)||) — camera_modules.py:360-367.
+
+    The estimate-side normalize uses eps=1e-3 instead of torch's 1e-12:
+    values are identical whenever |est_rot| > 1e-3 (always, post-warmup —
+    _nquat returns exact units above that norm), but at the zero-bias init
+    the chained gradient through _nquat -> normalize was 1e3 * 1e12 ~ 1e15
+    on `rots.bias` (observed as the iter-0 grad_norm spike); torch never
+    hits this because nn.Linear bias init is uniform nonzero."""
     l_x = jnp.mean(safe_norm(gt_pose[:, 0:3] - est_tran, axis=1))
     l_q = jnp.mean(
-        safe_norm(normalize(gt_pose[:, 3:]) - normalize(est_rot), axis=1)
+        safe_norm(normalize(gt_pose[:, 3:]) - normalize(est_rot, eps=1e-3), axis=1)
     )
     return l_x, l_q
 
