@@ -365,6 +365,18 @@ class Trainer:
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
         bs = int(cfg.TEST.IMS_PER_BATCH)
+        # one-step software pipeline: jax dispatch is async, so enqueueing
+        # batch i+1 BEFORE fetching/postprocessing batch i overlaps the host
+        # half (RLE, instance assembly, metric accumulation) with device
+        # compute instead of strictly alternating them
+        pending = None
+
+        def _drain(p):
+            pchunk, pmetas, fut = p
+            out = jax.device_get(fut)
+            results = postprocess_batch(out, pmetas, height=h, width=w)
+            evaluator.process(pchunk, results)
+
         for lo in range(0, len(dataset_list), bs):
             chunk = dataset_list[lo: lo + bs]
             samples = [mapper(d) for d in chunk]
@@ -377,10 +389,12 @@ class Trainer:
                     scale_normal_deg=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_NORMAL_SCALE,
                 )
                 gt_geo = {k: jnp.asarray(v) for k, v in gt_geo.items()}
-                out = jax.device_get(eval_step(variables, img0, img1, gt_geo))
+                fut = eval_step(variables, img0, img1, gt_geo)
             else:
-                out = jax.device_get(eval_step(variables, img0, img1))
-            metas = [s["meta"] for s in samples]
-            results = postprocess_batch(out, metas, height=h, width=w)
-            evaluator.process(chunk, results)
+                fut = eval_step(variables, img0, img1)
+            if pending is not None:
+                _drain(pending)
+            pending = (chunk, [s["meta"] for s in samples], fut)
+        if pending is not None:
+            _drain(pending)
         return evaluator.evaluate()
