@@ -28,9 +28,15 @@ def main(args):
 
     import jax
 
+    # NOPESAC_PLATFORM=cpu forces the CPU backend (see train_NopeSAC.py)
+    forced = os.environ.get("NOPESAC_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_cpu" if forced == "cpu" else ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import nopesac_tpu.data.datasets  # noqa: F401

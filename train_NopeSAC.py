@@ -77,11 +77,19 @@ def main(args):
 
     import jax
 
+    # NOPESAC_PLATFORM=cpu forces the CPU backend (JAX_PLATFORMS is
+    # overridden by sitecustomize on some images; jax.config wins). Useful
+    # for smoke-driving the CLIs when no TPU is reachable.
+    forced = os.environ.get("NOPESAC_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+
     # persistent compilation cache: the first run pays the XLA compile cost,
     # later runs (and resume) start in seconds
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_cpu" if forced == "cpu" else ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.num_machines > 1:
