@@ -63,10 +63,27 @@ class Evaluator:
 
         import torch
 
+        # optional config (reference eval.py:96-116): offline eval derives
+        # everything from the artifact files; the config contributes only
+        # TEST.EVAL_GT_BOX (backfills file_name keys, reference :106-116)
+        self.gt_box = False
+        if getattr(args, "config_file", ""):
+            from nopesac_tpu.config.config import get_cfg
+
+            cfg = get_cfg()
+            cfg.merge_from_file(args.config_file)
+            if getattr(args, "opts", None):
+                cfg.merge_from_list(args.opts)
+            self.gt_box = bool(cfg.TEST.EVAL_GT_BOX)
+
         with open(args.rcnn_cached_file, "rb") as f:
             print(f"loading rcnn cached file from {args.rcnn_cached_file}")
             self.rcnn_data = torch.load(f, weights_only=False)
             print("rcnn cached file has been loaded")
+        if self.gt_box and "file_name" not in self.rcnn_data[0]["0"]:
+            for pair in self.rcnn_data:
+                for i in ("0", "1"):
+                    pair[i]["file_name"] = pair[i]["image_id"]
 
         import nopesac_tpu.data.datasets  # noqa: F401
         from nopesac_tpu.data.registry import DatasetCatalog
