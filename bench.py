@@ -246,10 +246,11 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
 
     flops = None
     try:
-        lowered = jax.jit(
-            make_train_step(model, tx), donate_argnums=(0,)
-        ).lower(state, batch, rng)
-        cost = lowered.compile().cost_analysis()
+        # lower/compile the SAME jitted step (same shardings -> same cache
+        # key as the step just executed, so this is a cache hit); a fresh
+        # jax.jit of the raw fn would retrace and recompile the largest
+        # graph in the repo a second time
+        cost = step.lower(state, batch, rng).compile().cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(c.get("flops", 0.0)) or None

@@ -119,6 +119,10 @@ class Evaluator:
             gts = self.rcnn_data[idx]["camera"]["gts"]
             return {"position": np.asarray(gts["tran"]).reshape(3),
                     "rotation": np.asarray(gts["rot"]).reshape(4)}
+        if self.camera_branch is None:
+            raise RuntimeError(
+                "camera fallback requested (optimized dict has no best_camera "
+                f"for pair {idx}) but no --camera-cached-file was given")
         key = self.rcnnidx2datasetkey(idx)
         return self.camera_branch.cached_rel_camera(
             [self.dataset_dict[key]], tran_topk, rot_topk)[0]

@@ -19,6 +19,22 @@ import numpy as np
 
 from .mapper import collate
 
+# fork-pool worker state: the mapper is shipped ONCE via the pool
+# initializer (inherited memory at fork), not pickled per map call — per-call
+# pickling both costs (the mapper holds the k_inv_dot_xy1 ray map) and
+# FREEZES the mapper's augmentation RNG (the parent's state never advances)
+_WORKER_MAPPER = None
+
+
+def _init_worker(mapper):
+    global _WORKER_MAPPER
+    _WORKER_MAPPER = mapper
+
+
+def _map_item(args):
+    pair, seed = args
+    return _WORKER_MAPPER(pair, aug_seed=seed)
+
 
 class PairLoader:
     def __init__(
@@ -45,21 +61,28 @@ class PairLoader:
         self.infinite = infinite
         self.num_workers = num_workers
         self._pool = None
+        self._item_counter = 0  # monotone per-sample augmentation seed base
         if num_workers > 0:
             import multiprocessing as mp
 
-            # fork: the mapper + dataset are inherited, nothing pickled per
-            # item beyond the pair dict itself. Forked HERE, from the main
-            # thread at construction, not lazily from the producer thread -
-            # fork() from a multi-threaded process can deadlock/abort the
-            # children on inherited locks (jax/XLA spin up many threads).
-            self._pool = mp.get_context("fork").Pool(num_workers)
+            # fork: the mapper + dataset are inherited; only (pair, seed)
+            # tuples travel per item. Forked HERE, from the main thread at
+            # construction, not lazily from the producer thread - fork()
+            # from a multi-threaded process can deadlock/abort the children
+            # on inherited locks (jax/XLA spin up many threads).
+            self._pool = mp.get_context("fork").Pool(
+                num_workers, initializer=_init_worker, initargs=(mapper,))
 
     def _map_chunk(self, chunk) -> list:
         items = [self.dataset[i] for i in chunk]
+        # explicit per-sample seeds: deterministic given (loader seed, item
+        # order), identical semantics in both the pool and in-line paths
+        seeds = [self.seed * 1_000_003 + self._item_counter + k
+                 for k in range(len(items))]
+        self._item_counter += len(items)
         if self._pool is not None:
-            return self._pool.map(self.mapper, items)
-        return [self.mapper(d) for d in items]
+            return self._pool.map(_map_item, list(zip(items, seeds)))
+        return [self.mapper(d, aug_seed=s) for d, s in zip(items, seeds)]
 
     def __len__(self):
         n = len(self.dataset)

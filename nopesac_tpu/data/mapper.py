@@ -217,7 +217,13 @@ class PairMapper:
         }
 
     # ---------------- full pair ----------------
-    def __call__(self, pair: dict) -> Dict:
+    def __call__(self, pair: dict, aug_seed: Optional[int] = None) -> Dict:
+        # aug_seed: explicit per-sample augmentation seed. Worker-pool
+        # mappers are pickled per map call, which would FREEZE self._aug_rng
+        # (every batch replaying identical draws); the loader passes a fresh
+        # seed per item instead.
+        aug_rng = (np.random.default_rng(aug_seed) if aug_seed is not None
+                   else self._aug_rng)
         sample: Dict = {"meta": {
             "image_id0": pair["0"]["image_id"],
             "image_id1": pair["1"]["image_id"],
@@ -232,8 +238,15 @@ class PairMapper:
             if self.kind == "mp3d" and MP3D_PATH_PREFIX in fname:
                 fname = fname.replace(MP3D_PATH_PREFIX, self.root_dir)
             if view.get("image") is not None:
-                # in-memory image (synthetic fixtures render one per view)
+                # in-memory image (synthetic fixtures render one per view);
+                # resize to the mapper's shape like the file path does
                 img = np.asarray(view["image"], np.float32)
+                if img.shape[:2] != (self.h, self.w):
+                    from PIL import Image
+
+                    img = np.asarray(
+                        Image.fromarray(img.astype(np.uint8)).resize(
+                            (self.w, self.h)), np.float32)
             elif fname and os.path.exists(fname):
                 img = self._read_image(fname)
             else:
@@ -241,7 +254,7 @@ class PairMapper:
             if self.augmentation:
                 from .augmentation import simclr_augment
 
-                img = simclr_augment(img, self._aug_rng)
+                img = simclr_augment(img, aug_rng)
             sample[f"image{i}"] = (img - self.pixel_mean) / self.pixel_std
 
         if self.is_train or self.eval_gt_box:

@@ -138,11 +138,14 @@ class Trainer:
     """End-to-end trainer mirroring the reference CLI behaviour."""
 
     def __init__(self, cfg: CfgNode, dataset_list: Optional[List[dict]] = None,
-                 image_hw=(480, 640), num_devices: Optional[int] = None):
+                 image_hw=(480, 640), num_devices: Optional[int] = None,
+                 training: bool = True):
         """num_devices: explicit device count (the CLI's --num-gpus). Fails
         loudly when unsatisfiable, mirroring d2 launch() semantics
         (reference train_NopeSAC.py:265-272); None = use all visible devices
-        that evenly divide the batch."""
+        that evenly divide the batch. training=False (eval-only CLIs) skips
+        the SOLVER.IMS_PER_BATCH divisibility check — the eval loop runs
+        unsharded, so --num-gpus only bounds the visible-device count."""
         self.cfg = cfg
         self.image_hw = image_hw
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
@@ -158,13 +161,15 @@ class Trainer:
                 raise ValueError(
                     f"--num-gpus {num_devices} requested but only {n_dev} "
                     f"device(s) visible")
-            if cfg.SOLVER.IMS_PER_BATCH % num_devices != 0:
+            if training and cfg.SOLVER.IMS_PER_BATCH % num_devices != 0:
                 raise ValueError(
                     f"--num-gpus {num_devices} does not divide "
                     f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH}")
             n_use = num_devices
-        else:
+        elif training:
             n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+        else:
+            n_use = 1  # eval loop runs unsharded
         self.mesh = make_mesh(n_use)
         self._repl = NamedSharding(self.mesh, P())
         if n_use != n_dev:
@@ -294,6 +299,12 @@ class Trainer:
                 self.checkpointer.save(self.state, step + 1)
             if cfg.TEST.EVAL_PERIOD > 0 and (step + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 try:
+                    # d2 PreciseBN hook semantics: recompute running stats
+                    # before EVERY eval, not only the final one — mid-train
+                    # evals otherwise use stats lagging the params by
+                    # ~1/(1-momentum) steps (see engine/precise_bn.py)
+                    if cfg.TEST.PRECISE_BN.ENABLED:
+                        self.state = self._precise_bn(self.state)
                     self.test()
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
@@ -345,8 +356,10 @@ class Trainer:
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
             camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
-            # TEST.EVAL_GT_BOX: attach GT instances at eval time
-            # (planercnn_transforms.py:276-305)
+            # TEST.EVAL_GT_BOX: the mapper ATTACHES GT targets at eval time,
+            # exactly the reference's behavior (planercnn_transforms.py:
+            # 276-305 attaches `instances`; the reference's eval path does
+            # not consume them downstream either — attachment parity only)
             eval_gt_box=bool(cfg.TEST.EVAL_GT_BOX),
         )
         evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list)

@@ -30,9 +30,13 @@ class CameraBranch:
             dataset = "scannet" if "scannet" in str(cfg.DATASETS.TEST) else "mp3d"
         self.bins = CameraBins(dataset=dataset)
         self.cached = None
+        self._key_index = None
         if cached_logits_path:
             with open(cached_logits_path, "rb") as f:
                 self.cached = pickle.load(f)
+            # key -> row index, built once: per-pair list(...).index() was
+            # O(N^2) over a ~13k-pair test split
+            self._key_index = {k: i for i, k in enumerate(self.cached["keys"])}
 
     def xyz2class(self, x, y, z):
         return self.bins.xyz2class(x, y, z)
@@ -53,11 +57,13 @@ class CameraBranch:
         `keys`, `logits_sms` {tran, rot}, `gts` {tran, rot}).
         topk == -1 selects the cached GT pose."""
         assert self.cached is not None, "no --camera-cached-file loaded"
-        keys = list(self.cached["keys"])
         out = []
         for pair in pair_dicts:
             key = pair["0"].get("file_name", "") + pair["1"].get("file_name", "")
-            idx = keys.index(key)
+            idx = self._key_index.get(key)
+            if idx is None:
+                raise KeyError(
+                    f"pair {key!r} not present in the cached camera logits file")
             tl = np.asarray(self.cached["logits_sms"]["tran"][idx])
             rl = np.asarray(self.cached["logits_sms"]["rot"][idx])
             if tran_topk == -1:

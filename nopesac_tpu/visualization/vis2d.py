@@ -120,10 +120,14 @@ def save_affinity_stitched(affinity: np.ndarray, sz_i: int, sz_j: int,
     import matplotlib.pyplot as plt
 
     a = np.asarray(affinity, np.float64)
+    sz_i = min(sz_i, a.shape[0])
+    sz_j = min(sz_j, a.shape[1])
     max_sz = max(sz_i, sz_j)
     max_sz = 5 if max_sz < 5 else (10 if max_sz < 10 else max_sz)
-    max_sz = min(max_sz, a.shape[0], a.shape[1])
-    vis = a[:max_sz, :max_sz]
+    # zero-PAD to the aligned square (reference labels_full, :74-76) rather
+    # than truncate — a 7x4 affinity must show all 7 rows
+    vis = np.zeros((max_sz, max_sz))
+    vis[:sz_i, :sz_j] = a[:sz_i, :sz_j]
     matched = {(i, int(j)) for i, j in enumerate(np.asarray(matching).tolist())
                if int(j) != -1}
 

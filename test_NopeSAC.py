@@ -43,7 +43,7 @@ def main(args):
     from nopesac_tpu.engine.trainer import Trainer
 
     trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE),
-                      num_devices=args.num_gpus)
+                      num_devices=args.num_gpus, training=False)
     trainer.resume_or_load(resume=args.resume)
     results = trainer.test()
     for k, v in (results or {}).items():

@@ -82,8 +82,8 @@ def test_loader_worker_pool():
     from nopesac_tpu.data.mapper import PairMapper
     from nopesac_tpu.data.synthetic import make_dataset
 
-    data = make_dataset(n_pairs=4, n_planes=3, h=48, w=64, seed=11)
-    mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(48, 64))
+    data = make_dataset(n_pairs=4, n_planes=3, h=64, w=96, seed=11)
+    mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(64, 96))
     kw = dict(batch_size=2, shuffle=False, drop_last=True, infinite=False)
     batches0 = list(PairLoader(data, mapper, num_workers=0, **kw))
     batches2 = list(PairLoader(data, mapper, num_workers=2, **kw))
@@ -97,3 +97,31 @@ def test_loader_worker_pool():
                     np.testing.assert_array_equal(b0[k][sk], b2[k][sk])
             else:
                 np.testing.assert_array_equal(b0[k], b2[k])
+
+
+def test_loader_worker_pool_augmentation_advances():
+    """Regression: pool.map used to pickle the mapper (and its _aug_rng)
+    per call, FREEZING augmentation — every batch replayed identical draws.
+    Per-item seeds must give different draws across batches and match the
+    in-thread path exactly."""
+    from nopesac_tpu.data.loader import PairLoader
+    from nopesac_tpu.data.mapper import PairMapper
+    from nopesac_tpu.data.synthetic import make_dataset
+
+    # 4 copies of the SAME pair: any inter-batch image difference can only
+    # come from augmentation randomness
+    # 64x96: the smallest shape where the synthetic renderer emits
+    # non-black images (augmentation on all-zeros is a no-op)
+    data = make_dataset(n_pairs=1, n_planes=3, h=64, w=96, seed=3) * 4
+    mapper = PairMapper(is_train=True, dataset_kind="mp3d",
+                        image_size=(64, 96), augmentation=True)
+    kw = dict(batch_size=1, shuffle=False, drop_last=True, infinite=False)
+    pooled = list(PairLoader(data, mapper, num_workers=2, seed=7, **kw))
+    assert len(pooled) == 4
+    imgs = [b["image0"][0] for b in pooled]
+    # augmentation draws differ across items (RNG not frozen)
+    assert any(not np.array_equal(imgs[0], im) for im in imgs[1:])
+    # and the pool path matches the in-thread path draw-for-draw
+    inline = list(PairLoader(data, mapper, num_workers=0, seed=7, **kw))
+    for bp, bi in zip(pooled, inline):
+        np.testing.assert_array_equal(bp["image0"], bi["image0"])
