@@ -22,7 +22,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from ..core.geometry import safe_norm
+from ..core.geometry import normalize, safe_norm
 from .hungarian import hungarian_device
 
 
@@ -161,12 +161,8 @@ def compute_match_cost(outputs: Dict, targets: Dict, weights: Dict) -> jnp.ndarr
     tgt_param = targets["gt_params"]
     cost_param = jnp.sum(jnp.abs(out_param[:, :, None] - tgt_param[:, None]), axis=-1)
 
-    def _safe_norm(v):
-        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        return v / jnp.maximum(n, 1e-12)
-
-    out_n = _safe_norm(out_param)
-    tgt_n = _safe_norm(tgt_param)
+    out_n = normalize(out_param)
+    tgt_n = normalize(tgt_param)
     cosv = jnp.clip(jnp.einsum("bqc,bgc->bqg", out_n, tgt_n), -0.999999, 0.999999)
     cost_angle = jnp.rad2deg(jnp.arccos(cosv))
 
@@ -291,6 +287,14 @@ def detection_losses(
     return losses
 
 
+def _q_params_new(p):
+    """normal/offset^2 rescale shared by both Q-loss implementations
+    (criterion.py:183-189): n/d where n = p/|p|, d = |p|."""
+    off = safe_norm(p, axis=-1, keepdims=True)
+    nrm = p / jnp.maximum(off, 1e-12)
+    return nrm / jnp.maximum(off, 1e-12)
+
+
 def _q_loss(src_p, tgt_p, tgt_masks, matched_f, targets):
     """Point-to-plane depth consistency (criterion.py:173-233).
 
@@ -302,13 +306,8 @@ def _q_loss(src_p, tgt_p, tgt_masks, matched_f, targets):
     kxy = targets["k_inv_dot_xy1"]  # [B, 3, H, W]
     pts = kxy * depth[:, None]  # [B, 3, H, W]
 
-    def params_new(p):
-        off = safe_norm(p, axis=-1, keepdims=True)
-        nrm = p / jnp.maximum(off, 1e-12)
-        return nrm / jnp.maximum(off, 1e-12)
-
-    gt_new = params_new(tgt_p) * matched_f[..., None]
-    pr_new = params_new(src_p) * matched_f[..., None]
+    gt_new = _q_params_new(tgt_p) * matched_f[..., None]
+    pr_new = _q_params_new(src_p) * matched_f[..., None]
     masks = tgt_masks * matched_f[..., None, None]
 
     gt_dist = jnp.abs(jnp.einsum("bnc,bchw->bnhw", gt_new, pts) - 1.0) * masks
@@ -356,11 +355,6 @@ def _q_loss_segmap(src_p, match, targets):
     kxy = targets["k_inv_dot_xy1"]  # [B, 3, H, W]
     pts = kxy * depth[:, None]  # [B, 3, H, W]
 
-    def params_new(p):
-        off = safe_norm(p, axis=-1, keepdims=True)
-        nrm = p / jnp.maximum(off, 1e-12)
-        return nrm / jnp.maximum(off, 1e-12)
-
     # inverse permutation: inv[b, g] = query matched to gt g, or -1
     q_idx = jnp.arange(nq, dtype=jnp.int32)
     inv = jnp.full((b, ng), -1, jnp.int32)
@@ -368,8 +362,8 @@ def _q_loss_segmap(src_p, match, targets):
         jnp.where(match >= 0, q_idx[None], -1))
     active_g = (inv >= 0).astype(jnp.float32)  # [B, NG]
 
-    gt_new_g = params_new(targets["gt_params"]) * active_g[..., None]  # [B, NG, 3]
-    pr_new_q = params_new(src_p)  # [B, NQ, 3]
+    gt_new_g = _q_params_new(targets["gt_params"]) * active_g[..., None]  # [B, NG, 3]
+    pr_new_q = _q_params_new(src_p)  # [B, NQ, 3]
     pr_new_g = jnp.take_along_axis(
         pr_new_q, jnp.maximum(inv, 0)[..., None], axis=1) * active_g[..., None]
 

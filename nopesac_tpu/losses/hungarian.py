@@ -251,8 +251,6 @@ def hungarian_host(cost_padded: jnp.ndarray, num_valid_cols: jnp.ndarray) -> jnp
     def _solve(cost, nv):
         from scipy.optimize import linear_sum_assignment
 
-        out = np.full((cost.shape[0], cost.shape[1]), -1, np.int32)
-        res = np.full((cost.shape[0], cost.shape[1]), -1, np.int32)[:, 0]
         outs = []
         for b in range(cost.shape[0]):
             rows, cols = linear_sum_assignment(np.asarray(cost[b], np.float64))

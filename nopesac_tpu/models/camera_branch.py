@@ -89,22 +89,25 @@ class CameraBranch:
         out = []
         for pred in pred_dicts:
             cam = pred["camera"]
-            if tran_topk == -1 and rot_topk == -1:
-                out.append({
-                    "position": np.asarray(cam["gts"]["tran"]),
-                    "rotation": np.asarray(cam["gts"]["rot"]),
-                    "position_prob": 1.0,
-                    "rotation_prob": 1.0,
-                })
-                continue
-            tl = np.asarray(cam["logits"]["tran"])
-            rl = np.asarray(cam["logits"]["rot"])
-            ti = np.argsort(tl)[::-1][tran_topk]
-            ri = np.argsort(rl)[::-1][rot_topk]
+            # each -1 independently selects the GT field (reference
+            # camera_branch.py:91-107) — a mixed call like
+            # (tran_topk=-1, rot_topk=0) is a legitimate ablation
+            if tran_topk == -1:
+                tran, tran_p = np.asarray(cam["gts"]["tran"]), 1.0
+            else:
+                tl = np.asarray(cam["logits"]["tran"])
+                ti = int(np.argsort(tl)[::-1][tran_topk])
+                tran, tran_p = self.class2xyz(ti), float(_softmax(tl)[ti])
+            if rot_topk == -1:
+                rot, rot_p = np.asarray(cam["gts"]["rot"]), 1.0
+            else:
+                rl = np.asarray(cam["logits"]["rot"])
+                ri = int(np.argsort(rl)[::-1][rot_topk])
+                rot, rot_p = self.class2quat(ri), float(_softmax(rl)[ri])
             out.append({
-                "position": self.class2xyz(int(ti)),
-                "rotation": self.class2quat(int(ri)),
-                "position_prob": float(_softmax(tl)[ti]),
-                "rotation_prob": float(_softmax(rl)[ri]),
+                "position": tran,
+                "rotation": rot,
+                "position_prob": tran_p,
+                "rotation_prob": rot_p,
             })
         return out

@@ -179,6 +179,13 @@ class PlaneTRNopeSAC(nn.Module):
             "loss_dice": self.dice_weight,
         }
 
+        # siamese towers share weights, so both views run as ONE 2B batch
+        # (halves compile cost, doubles MXU occupancy). Known deviation from
+        # the reference (siamese_planeTR.py:228-231 runs each view as its own
+        # batch): trainable BatchNorm layers here normalise with statistics
+        # pooled over BOTH views rather than per-view, and running stats
+        # update once per step instead of twice. Eval-mode semantics (running
+        # averages) are identical; the eval-mode parity harness is unaffected.
         images_cat = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
         targets_cat = jax.tree_util.tree_map(
             lambda a, c: jnp.concatenate([a, c], axis=0), t0, t1)
@@ -376,24 +383,37 @@ class PlaneTRNopeSAC(nn.Module):
         keep = (mask_area >= 1) & (original_area >= 1) & (overlap >= self.overlap_threshold)
         keep = keep & valid
 
-        # if nothing survives, keep the max-overlap valid query
-        # (siamese_planeTR.py:741-788); ties broken by first index like the
-        # reference's strict `>` update rule. The argmax must land on a VALID
-        # query even when every overlap is degenerate, hence the two-level
-        # penalty (-1 for valid-but-degenerate, -2 for invalid).
+        # Three regimes, matching the reference exactly:
+        #  1) normal: surviving keeps, prob-gated masks;
+        #  2) zero-detection (no query above plane_score_threshold,
+        #     siamese_planeTR.py:656-661,699-702): the single fallback query,
+        #     overlap filter NOT applied, prob gate KEPT — and pixel (0,0)
+        #     forced on when the gated mask is empty;
+        #  3) all-filtered (valid queries but every overlap fails,
+        #     siamese_planeTR.py:741-788): the max-overlap query with the
+        #     UNGATED argmax mask. Ties broken by first index like the
+        #     reference's strict `>` update rule; the argmax must land on a
+        #     VALID query even when every overlap is degenerate, hence the
+        #     two-level penalty (-1 valid-but-degenerate, -2 invalid).
         ov_for_max = jnp.where((mask_area >= 1) & (original_area >= 1), overlap, -1.0)
         ov_for_max = jnp.where(valid, ov_for_max, -2.0)
         fallback2 = jax.nn.one_hot(jnp.argmax(ov_for_max, axis=1), nq, dtype=bool)
         any_keep = jnp.any(keep, axis=1, keepdims=True)
-        # the fallback keeps the raw argmax-seg mask without the prob gate
+        zero_case = ~any_valid  # [B, 1]: regime 2 (valid == fallback one-hot)
         final_valid = jnp.where(any_keep, keep, fallback2 & valid)
-        gate = jnp.where(any_keep[:, :, None],
-                         max_scaled > self.mask_prob_threshold, True)
+        final_valid = jnp.where(zero_case, valid, final_valid)
+        gated = (any_keep | zero_case)[:, :, None]
+        gate = jnp.where(gated, max_scaled > self.mask_prob_threshold, True)
+        # regime 2 with an empty gated mask: reference sets pixel (0, 0)
+        zero_empty = zero_case[:, 0] & (
+            jnp.sum(jnp.where(valid, cnt_gate, 0.0), axis=1) < 1)
+        gate = gate.at[:, 0, 0].set(gate[:, 0, 0] | zero_empty)
 
         # plane centers from normalised xy over the final mask
-        area = jnp.where(any_keep, cnt_gate, cnt_nogate)
-        cx = jnp.where(any_keep, sumx_gate, sumx_nogate) / (area + 1e-10)
-        cy = jnp.where(any_keep, sumy_gate, sumy_nogate) / (area + 1e-10)
+        gated_c = any_keep | zero_case
+        area = jnp.where(gated_c, cnt_gate, cnt_nogate)
+        cx = jnp.where(gated_c, sumx_gate, sumx_nogate) / (area + 1e-10)
+        cy = jnp.where(gated_c, sumy_gate, sumy_nogate) / (area + 1e-10)
         centers = jnp.stack([cx, cy], axis=-1) * final_valid[:, :, None]
 
         return {
