@@ -215,7 +215,7 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
     cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
     cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
 
-    model = build_model_from_cfg(cfg, train_image_hw=(h, w))
+    model = build_model_from_cfg(cfg)
     data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)
     mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
     batch = collate([mapper(d) for d in data])

@@ -40,25 +40,13 @@ def log_sinkhorn_iterations(
     return z + u[:, :, None] + v[:, None, :]
 
 
-def log_optimal_transport_masked(
-    scores: jax.Array,
-    alpha: jax.Array,
-    iters: int,
-    row_masks: jax.Array | None = None,
-    col_masks: jax.Array | None = None,
-) -> jax.Array:
-    """Masked OT with a learnable dustbin row/col.
+def masked_ot_prologue(scores, alpha, row_masks, col_masks):
+    """Dustbin padding + invalid masking + log marginals, shared by the lax
+    implementation below and the Pallas kernel (ops/sinkhorn_pallas.py) so
+    the two stay algebraically identical (matching_head.py:228-281).
 
-    Args:
-      scores: [B, M, N] affinity matrix.
-      alpha: scalar learnable dustbin score.
-      iters: number of Sinkhorn iterations (static).
-      row_masks: [B, M] bool, True = valid row; None = all valid.
-      col_masks: [B, N] bool, True = valid col; None = all valid.
-
-    Returns: [B, M+1, N+1] log matching scores (probabilities scaled by the
-    number of valid rows+cols, exactly as the reference does).
-    """
+    Returns (padded_scores [B,M+1,N+1], log_mu [B,M+1], log_nu [B,N+1],
+    norm [B], padded_row_invalid [B,M+1], padded_col_invalid [B,N+1])."""
     b, m, n = scores.shape
     dtype = scores.dtype
     if row_masks is None:
@@ -97,6 +85,30 @@ def log_optimal_transport_masked(
         axis=1,
     )
     log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
+    return (padded_scores, log_mu, log_nu, norm,
+            padded_row_invalid, padded_col_invalid)
 
+
+def log_optimal_transport_masked(
+    scores: jax.Array,
+    alpha: jax.Array,
+    iters: int,
+    row_masks: jax.Array | None = None,
+    col_masks: jax.Array | None = None,
+) -> jax.Array:
+    """Masked OT with a learnable dustbin row/col.
+
+    Args:
+      scores: [B, M, N] affinity matrix.
+      alpha: scalar learnable dustbin score.
+      iters: number of Sinkhorn iterations (static).
+      row_masks: [B, M] bool, True = valid row; None = all valid.
+      col_masks: [B, N] bool, True = valid col; None = all valid.
+
+    Returns: [B, M+1, N+1] log matching scores (probabilities scaled by the
+    number of valid rows+cols, exactly as the reference does).
+    """
+    padded_scores, log_mu, log_nu, norm, _, _ = masked_ot_prologue(
+        scores, alpha, row_masks, col_masks)
     out = log_sinkhorn_iterations(padded_scores, log_mu, log_nu, iters)
     return out - norm[:, None, None]

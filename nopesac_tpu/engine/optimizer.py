@@ -36,25 +36,8 @@ def make_lr_schedule(base_lr: float, steps, gamma: float, warmup_iters: int,
     return schedule
 
 
-def _classify(path_s: str) -> str:
-    """Parameter group labels (train_NopeSAC.py:123-135).
-
-    Norm/embedding detection is name-based in the flax tree:
-      * FrozenBatchNorm params never reach the optimizer state in the
-        reference (requires_grad True but lr irrelevant since frozen stats;
-        they DO train in d2 actually - scale/bias are Parameters with
-        requires_grad False by default in FrozenBatchNorm2d, so: excluded).
-      * BatchNorm/LayerNorm/GroupNorm scale+bias -> weight_decay_norm (d2
-        default 0.0).
-      * query_embed -> weight_decay_embed (0.0).
-    """
-    if "query_embed" in path_s:
-        return "embed"
-    low = path_s.lower()
-    if any(t in low for t in ("batchnorm", "layernorm", "groupnorm", "norm/")) or (
-        low.endswith("/scale") or low.endswith("/bias")
-    ) and ("norm" in low):
-        return "norm"
+def _lr_group(path_s: str) -> str:
+    """LR-multiplier group by module prefix (train_NopeSAC.py:123-131)."""
     if "backbone" in path_s:
         return "backbone"
     if "plane_head" in path_s:
@@ -62,6 +45,33 @@ def _classify(path_s: str) -> str:
     if "matching_head" in path_s:
         return "matcher"
     return "default"
+
+
+_NORM_MODULE_PREFIXES = ("batchnorm", "layernorm", "groupnorm")
+
+
+def _decay_group(path_s: str) -> str:
+    """Weight-decay override group by OWNING MODULE, like the reference's
+    isinstance(module, norm_module_types) / nn.Embedding checks
+    (train_NopeSAC.py:132-135). Orthogonal to the LR group — the reference
+    composes both (a norm inside backbone gets the backbone multiplier AND
+    weight_decay_norm). Module-name matching is exact-prefix on the owning
+    path segment: a plain substring test classified e.g.
+    camera_head/normal_score_proj/.../bias as a norm parameter ("norm" in
+    "normal") and silently zeroed its weight decay.
+
+    Flax norm module names here: BatchNorm_0 / GroupNorm_0 (ConvBN/ConvGN),
+    norm / norm1..norm3 (transformer + GNN LayerNorms). FrozenBatchNorm
+    leaves never reach the optimizer (apply_freeze zeroes them)."""
+    if "query_embed" in path_s:
+        return "embed"
+    parts = path_s.lower().split("/")
+    owner = parts[-2] if len(parts) >= 2 else ""
+    if any(owner.startswith(m) for m in _NORM_MODULE_PREFIXES) or (
+        owner == "norm" or (owner.startswith("norm") and owner[4:].isdigit())
+    ):
+        return "norm"
+    return "regular"
 
 
 def _scale_per_leaf(multipliers: Dict[str, float]):
@@ -76,7 +86,7 @@ def _scale_per_leaf(multipliers: Dict[str, float]):
 
     def update_fn(updates, state, params=None):
         scaled = jax.tree_util.tree_map_with_path(
-            lambda p, u: u * multipliers[_classify(_path_str(p))], updates)
+            lambda p, u: u * multipliers[_lr_group(_path_str(p))], updates)
         return scaled, state
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -102,20 +112,15 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         "sem_seg_head": s.SEM_SEG_HEAD_MULTIPLIER,
         "matcher": s.PLANE_MATCHER_HEAD_MULTIPLIER,
         "default": 1.0,
-        "norm": 1.0,
-        "embed": 1.0,
     }
     decays = {
-        "backbone": s.WEIGHT_DECAY,
-        "sem_seg_head": s.WEIGHT_DECAY,
-        "matcher": s.WEIGHT_DECAY,
-        "default": s.WEIGHT_DECAY,
+        "regular": s.WEIGHT_DECAY,
         "norm": s.get("WEIGHT_DECAY_NORM", 0.0),
         "embed": s.WEIGHT_DECAY_EMBED,
     }
 
     labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: _classify(_path_str(p)), params)
+        lambda p, _: _decay_group(_path_str(p)), params)
 
     parts = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED and cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "full_model":

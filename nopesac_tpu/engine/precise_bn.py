@@ -78,7 +78,19 @@ def recompute_batch_stats(
     if n == 0:
         return batch_stats
     mean_stats = tmap(lambda t: t / n, total)
-    # guard: any non-finite leaf (empty loader edge cases) keeps the old stats
-    finite = all(bool(np.all(np.isfinite(np.asarray(l))))
-                 for l in jax.tree_util.tree_leaves(mean_stats))
-    return mean_stats if finite else batch_stats
+    # guard: any non-finite leaf (empty loader edge cases) keeps the old
+    # stats — but LOUDLY, or a discarded recompute silently reproduces the
+    # exact train/eval BN divergence this module exists to fix
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    bad = [keystr(p) for p, l in tree_flatten_with_path(mean_stats)[0]
+           if not bool(np.all(np.isfinite(np.asarray(l))))]
+    if bad:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "precise-BN recompute produced non-finite stats in %d leaves "
+            "(%s%s); KEEPING the stale running stats",
+            len(bad), ", ".join(bad[:3]), "..." if len(bad) > 3 else "")
+        return batch_stats
+    return mean_stats

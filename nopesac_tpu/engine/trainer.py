@@ -88,7 +88,7 @@ def gt_geo_from_samples(chunk: List[dict], samples: List[dict], nq: int,
     }
 
 
-def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32, train_image_hw=None) -> PlaneTRNopeSAC:
+def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32) -> PlaneTRNopeSAC:
     h = cfg.MODEL.SEM_SEG_HEAD
     cam = cfg.MODEL.CAMERA_HEAD
     return PlaneTRNopeSAC(
@@ -265,10 +265,12 @@ class Trainer:
 
     def resume_or_load(self, resume: bool = False):
         if resume:
+            if self.checkpointer.latest() is None:
+                logger.info("--resume: no checkpoint found, starting fresh")
+                return
             restored = self.checkpointer.restore(jax.device_get(self.state))
-            if restored is not None:
-                self.state = jax.device_put(restored, self._repl)
-                logger.info("resumed from step %d", int(self.state.step))
+            self.state = jax.device_put(restored, self._repl)
+            logger.info("resumed from step %d", int(self.state.step))
 
     # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None):
@@ -354,6 +356,7 @@ class Trainer:
         mapper = PairMapper(
             is_train=False, dataset_kind=_dataset_kind(test_name),
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
+            num_queries=cfg.MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES,
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
             camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
             # TEST.EVAL_GT_BOX: the mapper ATTACHES GT targets at eval time,
@@ -373,8 +376,13 @@ class Trainer:
             if cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS:
                 logger.warning("...with Gaussian noise on the GT planes")
                 noise_rng = np.random.default_rng(cfg.SEED if cfg.SEED >= 0 else 0)
-        eval_step = jax.jit(make_eval_step(self.model, out_h=h, out_w=w,
-                                           with_gt_geo=use_gt_matcher))
+        key = (use_gt_matcher, h, w)
+        if getattr(self, "_eval_steps", None) is None:
+            self._eval_steps = {}
+        if key not in self._eval_steps:
+            self._eval_steps[key] = jax.jit(make_eval_step(
+                self.model, out_h=h, out_w=w, with_gt_geo=use_gt_matcher))
+        eval_step = self._eval_steps[key]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
         bs = int(cfg.TEST.IMS_PER_BATCH)

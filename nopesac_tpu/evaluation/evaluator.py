@@ -34,9 +34,10 @@ def _gt_rle(ann: dict, height: int, width: int):
 
 
 def angle_error_vec(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
-    return 2 * np.arccos(
-        np.clip(np.abs(np.sum(q1 * q2, axis=1)), -1.0, 1.0)
-    ) * 180 / np.pi
+    # core helper also re-normalizes, guarding not-exactly-unit quats
+    from ..core.metrics import rotation_angle_error_deg
+
+    return rotation_angle_error_deg(q1, q2)
 
 
 class MP3DEvaluator:
@@ -124,6 +125,11 @@ class MP3DEvaluator:
     # ------------------------------------------------------------------
     def get_optimized_dict(self, predictions) -> dict:
         """The continuous.pkl contract (mp3d_evaluation.py:259-313)."""
+        if predictions and ("pred_assignment" not in predictions[0]
+                            or "camera" not in predictions[0]):
+            raise RuntimeError(
+                "TEST.EVAL_FULL_SCENE requires matching + camera predictions "
+                "(MODEL.EMBEDDING_ON / MODEL.CAMERA_ON are off in this config)")
         out = {}
         for idx, p in enumerate(predictions):
             best_assignment = np.asarray(p["pred_assignment"])
@@ -315,6 +321,10 @@ class MP3DEvaluator:
                 compute_ap(np.asarray(plane_s), np.asarray(plane_l), npos),
             "plane_ap@iou%.1fnormal%.1f" % (iou_thresh, normal_threshold):
                 compute_ap(np.asarray(pn_s), np.asarray(pn_l), npos),
+            # NOTE: offset key intentionally formatted with NORMAL_threshold
+            # — bug-for-bug parity with the reference's own format-string slip
+            # (mp3d_evaluation.py:714-716); do NOT "fix" without breaking
+            # metric-name compatibility
             "plane_ap@iou%.1foffset%.1f" % (iou_thresh, normal_threshold):
                 compute_ap(np.asarray(po_s), np.asarray(po_l), npos),
         }

@@ -21,6 +21,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.sinkhorn import masked_ot_prologue
+
 _INF = 1e5
 
 
@@ -68,33 +70,10 @@ def log_optimal_transport_masked_pallas(
     b, m, n = scores.shape
     dtype = jnp.float32
     scores = scores.astype(dtype)
-    if row_masks is None:
-        row_masks = jnp.ones((b, m), bool)
-    if col_masks is None:
-        col_masks = jnp.ones((b, n), bool)
-
-    padded_row_invalid = jnp.concatenate([~row_masks, jnp.zeros((b, 1), bool)], axis=1)
-    padded_col_invalid = jnp.concatenate([~col_masks, jnp.zeros((b, 1), bool)], axis=1)
-
-    alpha = jnp.asarray(alpha, dtype)
-    padded = jnp.concatenate(
-        [jnp.concatenate([scores, jnp.broadcast_to(alpha, (b, m, 1))], axis=-1),
-         jnp.broadcast_to(alpha, (b, 1, n + 1))], axis=1)
-    invalid = padded_row_invalid[:, :, None] | padded_col_invalid[:, None, :]
-    padded = jnp.where(invalid, -_INF, padded)
-
-    num_valid_row = jnp.sum(row_masks.astype(dtype), axis=1)
-    num_valid_col = jnp.sum(col_masks.astype(dtype), axis=1)
-    norm = -jnp.log(num_valid_row + num_valid_col)
-
-    log_mu = jnp.concatenate(
-        [jnp.broadcast_to(norm[:, None], (b, m)),
-         (jnp.log(num_valid_col) + norm)[:, None]], axis=1)
-    log_mu = jnp.where(padded_row_invalid, -_INF, log_mu)
-    log_nu = jnp.concatenate(
-        [jnp.broadcast_to(norm[:, None], (b, n)),
-         (jnp.log(num_valid_row) + norm)[:, None]], axis=1)
-    log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
+    # the dustbin-padding/masking/marginal algebra is SHARED with the lax
+    # implementation so the two paths cannot drift (core/sinkhorn.py)
+    padded, log_mu, log_nu, norm, _, _ = masked_ot_prologue(
+        scores, alpha, row_masks, col_masks)
 
     # pad to TPU f32 tiles: rows to 8, cols (lanes) to 128; padding behaves
     # like more invalid rows/cols (-inf scores and marginals)

@@ -110,3 +110,30 @@ class TestMultipliers:
         bb = float(jnp.abs(updates["backbone"]["stem_conv1"]["kernel"]).mean())
         cam = float(jnp.abs(updates["camera_head"]["trans"]["kernel"]).mean())
         assert abs(bb / cam - 0.1) < 1e-3
+
+
+class TestParamGrouping:
+    """LR-multiplier and weight-decay groups are orthogonal and module-exact
+    (reference train_NopeSAC.py:123-135): substring matching used to classify
+    camera_head/normal_score_proj biases as norm params ('norm' in 'normal')
+    and strip module multipliers from norm/embed leaves."""
+
+    def test_decay_groups(self):
+        from nopesac_tpu.engine.optimizer import _decay_group
+
+        assert _decay_group("camera_head/normal_score_proj/Dense_0/bias") == "regular"
+        assert _decay_group("plane_head/top_down/c1_conv/BatchNorm_0/scale") == "norm"
+        assert _decay_group("camera_head/pixel_decoder/layer_res5/GroupNorm_0/bias") == "norm"
+        assert _decay_group("plane_head/context_sa/layers/layer/norm1/scale") == "norm"
+        assert _decay_group("plane_head/decoder/norm/bias") == "norm"
+        assert _decay_group("plane_head/query_embed") == "embed"
+        assert _decay_group("plane_head/plane_prob/kernel") == "regular"
+
+    def test_lr_groups_compose_with_decay(self):
+        from nopesac_tpu.engine.optimizer import _lr_group
+
+        # a norm INSIDE a module group keeps that group's lr multiplier
+        assert _lr_group("plane_head/top_down/c1_conv/BatchNorm_0/scale") == "sem_seg_head"
+        assert _lr_group("backbone/stem_bn1/scale") == "backbone"
+        assert _lr_group("matching_head/gnn/pairs/self_layer/norm1/scale") == "matcher"
+        assert _lr_group("camera_head/trans/kernel") == "default"
