@@ -153,7 +153,12 @@ class Evaluator:
                     "position": self.rcnn_data[idx]["camera"]["gts"]["tran"],
                     "rotation": self.rcnn_data[idx]["camera"]["gts"]["rot"],
                 }
-            pred_cam = {k: np.asarray(v).reshape(-1) for k, v in entry["best_camera"].items()}
+            best = entry["best_camera"]
+            if best is None:
+                # same cached-camera fallback the AP path uses for
+                # best_camera=None entries (reference eval.py:119-135)
+                best = self.get_camera_info(idx, tran_topk=0, rot_topk=0)
+            pred_cam = {k: np.asarray(v).reshape(-1) for k, v in best.items()}
             tran_errs.append(np.linalg.norm(
                 pred_cam["position"] - np.asarray(gt_cam["position"], np.float64)))
             d = np.abs(np.sum(pred_cam["rotation"] * np.asarray(gt_cam["rotation"], np.float64)))
@@ -281,6 +286,10 @@ class Evaluator:
             insts = self.rcnn_data[idx][i]["instances"]
             scores = np.asarray([ins["score"] for ins in insts])
             pp = np.asarray(self.rcnn_data[idx][i]["pred_plane"])
+            # NOTE reference parity: the 0.1 threshold filters params/scores
+            # (create_instances conf_threshold, reference eval.py:401-409)
+            # while get_maskiou uses ALL instances (reference :650-653) —
+            # both sides rely on detection scores exceeding 0.1 in practice
             chosen = scores > self.score_threshold
             if override is not None:
                 params = np.asarray(override[i])
@@ -481,11 +490,6 @@ def inst_bench(tp, fp, score, num_inst):
     rec = tp_c / npos
     prec = tp_c / np.maximum(tp_c + fp_c, 1e-12)
     return voc_ap(rec, prec), rec, prec, npos
-
-
-def _worker(payload):
-    ev, idxs = payload
-    return {idx: ev.evaluate_ap_by_idx(idx) for idx in idxs}
 
 
 def multiprocess_by_list(ev, num_process, idx_list):

@@ -35,9 +35,16 @@ class CfgNode(dict):
             raise AttributeError(name)
 
     def __setattr__(self, name: str, value: Any) -> None:
-        if object.__getattribute__(self, CfgNode._FROZEN):
-            raise AttributeError(f"CfgNode is frozen; cannot set {name}")
         self[name] = CfgNode(value) if isinstance(value, dict) and not isinstance(value, CfgNode) else value
+
+    def __setitem__(self, key, value) -> None:
+        # item assignment is the single mutation path (merge_from_file /
+        # merge_from_list / attribute sets all land here), so the frozen
+        # guard lives here — yacs semantics, where freeze() catches ANY
+        # late mutation, not only attribute-style ones
+        if object.__getattribute__(self, CfgNode._FROZEN):
+            raise AttributeError(f"CfgNode is frozen; cannot set {key}")
+        super().__setitem__(key, value)
 
     # -- freeze -----------------------------------------------------------
     def freeze(self) -> None:
@@ -54,6 +61,17 @@ class CfgNode(dict):
 
     def clone(self) -> "CfgNode":
         return copy.deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        # default dict-subclass deepcopy restores __frozen__ BEFORE
+        # re-inserting items, which would trip the __setitem__ guard
+        new = CfgNode()
+        memo[id(self)] = new
+        for k, v in self.items():
+            dict.__setitem__(new, k, copy.deepcopy(v, memo))
+        object.__setattr__(new, CfgNode._FROZEN,
+                           object.__getattribute__(self, CfgNode._FROZEN))
+        return new
 
     # -- merging ----------------------------------------------------------
     def _merge_dict(self, other: dict) -> None:

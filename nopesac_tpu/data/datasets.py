@@ -53,7 +53,9 @@ def register_pair_dataset(dataset_name: str, json_rel: str, root: str | None = N
         raise NotImplementedError(dataset_name)
 
     json_file = os.path.join(root, json_rel)
-    DatasetCatalog.register(dataset_name, lambda: load_pair_json(json_file, dataset_name))
+    DatasetCatalog.register(dataset_name,
+                            lambda: load_pair_json(json_file, dataset_name),
+                            allow_overwrite=True)
     MetadataCatalog.set(
         dataset_name,
         json_file=json_file,
@@ -94,11 +96,14 @@ def _register_synthetic() -> None:
 
 
 def register_builtin(root_override: str | None = None) -> None:
+    """Register the builtin splits. An EXPLICIT root_override re-registers
+    every split under the new root — the module-level call below already
+    registered them with the default roots at import time, so skipping
+    already-registered names here would silently ignore the override."""
     for name, (kind, rel) in SPLITS.items():
-        if name in DatasetCatalog:
+        if name in DatasetCatalog and root_override is None:
             continue
-        root = root_override if root_override else None
-        register_pair_dataset(name, rel, root)
+        register_pair_dataset(name, rel, root_override)
     _register_synthetic()
 
 

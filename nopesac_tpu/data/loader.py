@@ -107,9 +107,24 @@ class PairLoader:
                 chunk = idx[lo: lo + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
-                q.put(collate(self._map_chunk(chunk)))
+                batch = collate(self._map_chunk(chunk))
+                # bounded put that honours stop: a consumer that abandons
+                # the iterator (e.g. train() breaking at max_iter) would
+                # otherwise leave this thread blocked in q.put forever,
+                # pinning prefetch+1 collated batches
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
             if not self.infinite:
-                q.put(None)
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
                 return
             epoch += 1
 

@@ -141,12 +141,20 @@ class PairMapper:
                 sem = np.asarray(obs["semantic_sensor"])
                 ids = np.unique(sem)
                 ids = ids[ids != 0][: nq]
+                # NOTE reference parity: masks follow ascending-unique
+                # semantic ids while plane params follow annotation order —
+                # this sorted-unique <-> annotation pairing is EXACTLY the
+                # reference's own assumption (siamese_planeTR.py:488-496,
+                # torch.unique over the semantic map zipped against the
+                # annotation list); mp3d data satisfies it by construction
                 masks = (ids[:, None, None] == sem[None]).astype(np.uint8)
-                if self.depth_on or True:
-                    depth = np.asarray(obs["depth_sensor"], np.float32)
+                # depth always loads when present: it supervises BOTH the
+                # Q-loss (criterion.py:173-233, independent of DEPTH_ON)
+                # and the depth branch
+                depth = np.asarray(obs["depth_sensor"], np.float32)
         elif self.kind == "scannet":
             ann = self._scannet_ann(view)
-            if ann is not None:
+            if ann is not None and len(ann["plane_masks"]) > 0:
                 masks = np.stack([np.asarray(m, np.uint8) for m in ann["plane_masks"]])[: nq]
                 kmap = _np_coordinate_map(h, w, ann["camera_K"])
                 dpath = view["file_name"].replace("color", "depth").replace(".jpg", ".png")

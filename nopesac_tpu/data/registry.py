@@ -11,8 +11,9 @@ class _DatasetCatalog:
     def __init__(self):
         self._registry: Dict[str, Callable[[], List[dict]]] = {}
 
-    def register(self, name: str, fn: Callable[[], List[dict]]) -> None:
-        if name in self._registry:
+    def register(self, name: str, fn: Callable[[], List[dict]],
+                 allow_overwrite: bool = False) -> None:
+        if name in self._registry and not allow_overwrite:
             raise KeyError(f"dataset {name} already registered")
         self._registry[name] = fn
 

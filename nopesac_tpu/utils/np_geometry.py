@@ -47,7 +47,9 @@ def plane_params_to_global(planes: np.ndarray, position, rotation) -> np.ndarray
     (mesh_utils.py:89-106, get_plane_params_in_global)."""
     planes = np.asarray(planes, dtype=np.float64).reshape(-1, 3)
     tran = np.asarray(position, dtype=np.float64).reshape(3)
-    rot = quat_to_rotmat(np.asarray(rotation, dtype=np.float64).reshape(4))
+    q = np.asarray(rotation, dtype=np.float64).reshape(4)
+    q = q / max(np.linalg.norm(q), 1e-12)  # symmetric with plane_params_to_local
+    rot = quat_to_rotmat(q)
     start = np.ones((len(planes), 3)) * tran
     end = (rot @ (planes * SUNCG_TO_HABITAT).T).T + tran
     a = end

@@ -40,6 +40,10 @@ def main(args):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import nopesac_tpu.data.datasets  # noqa: F401
+    if cfg.DATASETS.ROOT_DIR:
+        # re-register the builtin splits under the configured root (the
+        # import above registered them with the default ./datasets paths)
+        nopesac_tpu.data.datasets.register_builtin(cfg.DATASETS.ROOT_DIR)
     from nopesac_tpu.engine.trainer import Trainer
 
     trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE),

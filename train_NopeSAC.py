@@ -103,6 +103,10 @@ def main(args):
         fix_seeds(cfg.SEED)
 
     import nopesac_tpu.data.datasets  # noqa: F401  (registers builtin splits)
+    if cfg.DATASETS.ROOT_DIR:
+        # re-register the builtin splits under the configured root (the
+        # import above registered them with the default ./datasets paths)
+        nopesac_tpu.data.datasets.register_builtin(cfg.DATASETS.ROOT_DIR)
     from nopesac_tpu.engine.trainer import Trainer
 
     if jax.process_index() == 0:
