@@ -42,6 +42,34 @@ def quat_conjugate(q: np.ndarray) -> np.ndarray:
     return np.asarray(q) * np.array([1.0, -1.0, -1.0, -1.0])
 
 
+def rotmat_to_quat(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> unit quaternion (w, x, y, z); [3, 3] -> [4].
+    Numpy twin of core.geometry.rotmat_to_quat (Shepperd construction) so
+    pure host tools never touch a jax backend."""
+    m = np.asarray(m, np.float64)
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    pivots = [tr, m[0, 0], m[1, 1], m[2, 2]]
+    best = int(np.argmax(pivots))
+    if best == 0:
+        s = max(np.sqrt(max(1.0 + tr, 0.0)) * 2.0, 1e-12)
+        q = [s / 4.0, (m[2, 1] - m[1, 2]) / s,
+             (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s]
+    elif best == 1:
+        s = max(np.sqrt(max(1.0 + m[0, 0] - m[1, 1] - m[2, 2], 0.0)) * 2.0, 1e-12)
+        q = [(m[2, 1] - m[1, 2]) / s, s / 4.0,
+             (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s]
+    elif best == 2:
+        s = max(np.sqrt(max(1.0 - m[0, 0] + m[1, 1] - m[2, 2], 0.0)) * 2.0, 1e-12)
+        q = [(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+             s / 4.0, (m[1, 2] + m[2, 1]) / s]
+    else:
+        s = max(np.sqrt(max(1.0 - m[0, 0] - m[1, 1] + m[2, 2], 0.0)) * 2.0, 1e-12)
+        q = [(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+             (m[1, 2] + m[2, 1]) / s, s / 4.0]
+    q = np.asarray(q, np.float64)
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
 def plane_params_to_global(planes: np.ndarray, position, rotation) -> np.ndarray:
     """suncg-frame n*d params -> global (habitat) frame
     (mesh_utils.py:89-106, get_plane_params_in_global)."""

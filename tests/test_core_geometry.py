@@ -140,3 +140,28 @@ class TestMisc:
         assert m.shape == (3, 4, 4)
         # ray through principal point ~ (0, 0, 1): pixel (x=2,y=2)*160 = (320,240)
         np.testing.assert_allclose(m[:, 2, 2], [0, 0, 1.0], atol=1e-5)
+
+
+def test_np_rotmat_to_quat_matches_jax():
+    """utils.np_geometry.rotmat_to_quat (host twin for jax-free tools) agrees
+    with core.geometry.rotmat_to_quat on random rotations."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nopesac_tpu.core.geometry import rotmat_to_quat as j_r2q
+    from nopesac_tpu.utils.np_geometry import quat_to_rotmat, rotmat_to_quat as np_r2q
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        m = quat_to_rotmat(q)
+        qn = np_r2q(m)
+        qj = np.asarray(j_r2q(jnp.asarray(m[None]))[0])
+        # quaternion double cover: compare up to sign
+        if np.dot(qn, qj) < 0:
+            qj = -qj
+        np.testing.assert_allclose(qn, qj, atol=1e-5)
+        if np.dot(qn, q) < 0:
+            qn = -qn
+        np.testing.assert_allclose(qn, q, atol=1e-6)

@@ -116,7 +116,7 @@ print("serial+device_get(seg+gate) ms:", [f"{x*1e3:.1f}" for x in lat4], flush=T
 # bare backbone timing for a FLOP sanity anchor
 @jax.jit
 def backbone_only(v, i0):
-    feats = model.apply(v, i0, method=model.backbone.__call__)
+    feats = model.apply(v, i0, method=lambda m, x: m.backbone(x))
     return feats["res5"].sum()
 
 try:

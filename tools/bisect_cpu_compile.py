@@ -2,8 +2,7 @@
 """Diagnostic: compile-time bisect of the TRAIN graph on CPU (1 core).
 
 Usage: python tools/bisect_cpu_compile.py <stage> [batch]
-Stages: jv, matchcost, detloss, backbone_bwd, planehead_bwd, camera_bwd,
-        trainfwd, trainstep
+Stages (implemented): jv, detloss, trainfwd, all
 """
 import os
 import sys
@@ -41,7 +40,15 @@ def make_batch():
     return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
-def main(stage, batch_size=8):
+STAGES = ("jv", "detloss", "trainfwd", "all")
+
+
+def main(stage, batch_size=None):
+    if stage not in STAGES:
+        raise SystemExit(f"unknown stage {stage!r}; implemented: {STAGES}")
+    global B
+    if batch_size:
+        B = batch_size
     t0 = time.time()
 
     if stage in ("jv", "all"):
@@ -114,4 +121,4 @@ def main(stage, batch_size=8):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "all",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+         int(sys.argv[2]) if len(sys.argv) > 2 else None)

@@ -29,9 +29,13 @@ from nopesac_tpu.utils import rle as rle_util
 
 H, W = 480, 640
 
-# ScanNet label ids whose plane fits are trusted without depth validation
-# (reference :472-517 confident-class table: wall/floor/cabinet/bed/door/...)
-CONFIDENT_LABELS = {1, 2, 3, 4, 7, 8, 9, 11, 12, 14, 16, 24, 28, 30, 32, 36}
+# ScanNet nyu40 ids whose plane fits are trusted without depth validation -
+# the True rows of the reference confidentClasses table (:471-517) mapped
+# through scannetv2-labels.combined.tsv: wall(1) floor(2) cabinet(3) bed(4)
+# table(7) door(8) window(9) picture(11) counter(12) desk(14) dresser(17)
+# floor-mat(20) ceiling(22) refrigerator(24) television(25) box(29)
+# whiteboard(30) night-stand(32)
+CONFIDENT_LABELS = {1, 2, 3, 4, 7, 8, 9, 11, 12, 14, 17, 20, 22, 24, 25, 29, 30, 32}
 
 
 # ---------------------------------------------------------------------------
@@ -97,10 +101,10 @@ def relative_pose_habitat(extr_inv0: np.ndarray, extr_inv1: np.ndarray):
     ma = np.diag([1.0, -1.0, -1.0])
     r_h = ma @ r @ np.linalg.inv(ma)
     t_h = (ma @ t).reshape(-1)
-    from nopesac_tpu.core.geometry import rotmat_to_quat
-    import jax.numpy as jnp
+    # numpy twin: a pure-host data tool must never initialize a jax backend
+    from nopesac_tpu.utils.np_geometry import rotmat_to_quat
 
-    q = np.asarray(rotmat_to_quat(jnp.asarray(r_h[None]))[0])
+    q = rotmat_to_quat(r_h)
     if q[0] < 0:
         q = -q
     return t_h.tolist(), q.tolist()
@@ -425,11 +429,20 @@ def candidate_pairs_by_pose_gap(scene_path: str, num_images: int,
         extr_inv = read_pose(os.path.join(scene_path, "pose", f"{idx}.txt"))
         if extr_inv is None or not np.all(np.isfinite(extr_inv)):
             continue
-        pos, quat = relative_pose_habitat(np.eye(4), extr_inv)
+        # reference :263: T_rel = poses[1] @ poses_inv[0] with poses[1]=I,
+        # i.e. the CAM-TO-WORLD pose - the translation gap below is then the
+        # physical camera baseline |C0 - C1| (world-to-cam would give
+        # |R0 C0 - R1 C1|, faking a gap for pure rotations far from origin)
+        pos, quat = relative_pose_habitat(extr_inv, np.eye(4))
         frames.append((idx, np.asarray(pos), np.asarray(quat)))
     pairs = []
+    # BOTH orders: the reference enumerates torch.nonzero(mask) over the
+    # full matrix, so (a,b) and (b,a) are distinct candidates (the per-frame
+    # hit cap in generate_scene_pairs then decides how many survive)
     for a in range(len(frames)):
-        for b_i in range(a + 1, len(frames)):
+        for b_i in range(len(frames)):
+            if a == b_i:
+                continue
             i0, t0, q0 = frames[a]
             i1, t1, q1 = frames[b_i]
             dt = float(np.linalg.norm(t0 - t1))
@@ -487,53 +500,6 @@ def read_pose(path: str) -> Optional[np.ndarray]:
         return None
     return np.asarray(vals).reshape(4, 4)
 
-
-def read_intrinsics(scene_path: str) -> np.ndarray:
-    """(fx, fy, cx, cy) from intrinsic/intrinsic_color.txt, rescaled to
-    640x480 (reference get_scene_info :428-470)."""
-    path = os.path.join(scene_path, "intrinsic", "intrinsic_color.txt")
-    k = read_pose(path)
-    # original color resolution from the .txt header convention (1296x968)
-    sx, sy = W / 1296.0, H / 968.0
-    return np.array([k[0, 0] * sx, k[1, 1] * sy, k[0, 2] * sx, k[1, 2] * sy])
-
-
-def mine_scene_pairs(scene_path: str, sample_step: int = 20,
-                     min_overlap: float = 0.05, max_overlap: float = 0.6,
-                     min_rot_deg: float = 15.0) -> List[Tuple[int, int]]:
-    """Select sparse-view pairs by reprojection overlap + rotation gap."""
-    camera = read_intrinsics(scene_path)
-    color_dir = os.path.join(scene_path, "color")
-    n_images = len([f for f in os.listdir(color_dir) if f.endswith(".jpg")])
-    frames = []
-    for idx in range(0, n_images, sample_step):
-        pose = read_pose(os.path.join(scene_path, "pose", f"{idx}.txt"))
-        if pose is None or not np.all(np.isfinite(pose)):
-            continue
-        dpath = os.path.join(scene_path, "depth", f"{idx}.png")
-        if not os.path.exists(dpath):
-            continue
-        frames.append((idx, pose, dpath))
-
-    from PIL import Image
-
-    pairs = []
-    for a in range(len(frames)):
-        idx0, pose0, dpath0 = frames[a]
-        depth0 = np.asarray(Image.open(dpath0), np.float64) / 1000.0
-        if depth0.shape != (H, W):
-            depth0 = np.asarray(Image.fromarray(depth0).resize((W, H)), np.float64)
-        for b in range(a + 1, len(frames)):
-            idx1, pose1, _ = frames[b]
-            ov = view_overlap_ratio(depth0, pose0, pose1, camera)
-            if not (min_overlap <= ov <= max_overlap):
-                continue
-            _, q = relative_pose_habitat(pose0, pose1)
-            ang = 2 * np.degrees(np.arccos(np.clip(abs(q[0]), -1, 1)))
-            if ang < min_rot_deg:
-                continue
-            pairs.append((idx0, idx1))
-    return pairs
 
 
 def main():

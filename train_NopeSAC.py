@@ -113,7 +113,7 @@ def main(args):
         copy_all_code(cfg.OUTPUT_DIR)
 
     trainer = Trainer(cfg, image_hw=tuple(cfg.INPUT.IMAGE_SIZE),
-                      num_devices=args.num_gpus)
+                      num_devices=args.num_gpus, training=not args.eval_only)
     if args.eval_only:
         trainer.resume_or_load(resume=args.resume)
         return trainer.test()
@@ -124,4 +124,5 @@ def main(args):
 
 if __name__ == "__main__":
     args = default_argument_parser().parse_args()
-    sys.exit(0 if main(args) is None or True else 1)
+    main(args)
+    sys.exit(0)
