@@ -145,9 +145,6 @@ class TestMisc:
 def test_np_rotmat_to_quat_matches_jax():
     """utils.np_geometry.rotmat_to_quat (host twin for jax-free tools) agrees
     with core.geometry.rotmat_to_quat on random rotations."""
-    import numpy as np
-    import jax.numpy as jnp
-
     from nopesac_tpu.core.geometry import rotmat_to_quat as j_r2q
     from nopesac_tpu.utils.np_geometry import quat_to_rotmat, rotmat_to_quat as np_r2q
 

@@ -470,6 +470,20 @@ class TestCameraRefineForward:
                pred_cam["pred_trans_avg"].numpy(), 2e-4)
 
 
+def _save_ref_ckpt_with_perturbed_bn(ref, prefix, path, seed_offset=0):
+    """Perturb BN running stats (makes the batch_stats import load-bearing:
+    fresh modules have mean=0/var=1 on both sides) and save the state_dict
+    under the reference checkpoint's key prefix."""
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.data.normal_(0.0, 0.5)
+            m.running_var.data.uniform_(0.5, 1.5)
+    ref = ref.eval()
+    torch.save({"model": {f"{prefix}.{k}": v
+                          for k, v in ref.state_dict().items()}}, str(path))
+    return ref
+
+
 class TestPlaneHeadForward:
     """Full PlaneTR detection head — sine pos-emb, 6-layer post-norm encoder,
     6-layer pre-norm decoder, top_down(+depth) FPN with BatchNorm, and all
@@ -494,18 +508,9 @@ class TestPlaneHeadForward:
             for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
         }
         torch.manual_seed(2)
-        ref = RefPH(cfg, input_shape)
-        # non-trivial BN running stats: makes the batch_stats import
-        # load-bearing (fresh modules have mean=0/var=1 on both sides, which
-        # would mask a stats-import gap entirely)
-        for m in ref.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.data.normal_(0.0, 0.5)
-                m.running_var.data.uniform_(0.5, 1.5)
-        ref = ref.eval()
         ckpt = tmp_path / "ph.pth"
-        torch.save({"model": {f"sem_seg_head.{k}": v
-                              for k, v in ref.state_dict().items()}}, str(ckpt))
+        ref = _save_ref_ckpt_with_perturbed_bn(
+            RefPH(cfg, input_shape), "sem_seg_head", ckpt)
 
         rng = np.random.default_rng(4)
         b = 2
@@ -531,7 +536,7 @@ class TestPlaneHeadForward:
         changed = lambda a, b_: sum(
             int(not np.allclose(x, y)) for x, y in zip(
                 jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, a)),
-                jax.tree_util.tree_leaves(b_)))
+                jax.tree_util.tree_leaves(b_), strict=True))
         assert changed(variables["params"], params["plane_head"]) > 50
         assert changed(variables.get("batch_stats", {}), bstats["plane_head"]) == \
             len(jax.tree_util.tree_leaves(bstats["plane_head"]))
@@ -581,15 +586,9 @@ class TestPixelCameraHeadForward:
             for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
         }
         torch.manual_seed(3)
-        ref = RefCH(cfg, input_shape)
-        for m in ref.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.data.normal_(0.0, 0.5)
-                m.running_var.data.uniform_(0.5, 1.5)
-        ref = ref.eval()
         ckpt = tmp_path / "pch.pth"
-        torch.save({"model": {f"camera_head_list.0.{k}": v
-                              for k, v in ref.state_dict().items()}}, str(ckpt))
+        ref = _save_ref_ckpt_with_perturbed_bn(
+            RefCH(cfg, input_shape), "camera_head_list.0", ckpt)
 
         # the conv stacks hardcode the 480x640 token geometry: corr channels
         # = 15*20 = 300 (camera_head.py:97-105), so res3 must be 60x80
