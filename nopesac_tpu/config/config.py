@@ -165,6 +165,10 @@ def get_cfg() -> CfgNode:
     c.MODEL = CfgNode()
     c.MODEL.META_ARCHITECTURE = "PlaneTR_NopeSAC"
     c.MODEL.DEVICE = "tpu"
+    # training compute dtype: "float32" (reference parity, default) or
+    # "bfloat16" (4x MXU matmul rate on TPU; master weights/optimizer state
+    # stay f32 either way - flax modules cast activations only)
+    c.MODEL.COMPUTE_DTYPE = "float32"
     c.MODEL.WEIGHTS = ""
     c.MODEL.PIXEL_MEAN = [123.675, 116.280, 103.530]
     c.MODEL.PIXEL_STD = [58.395, 57.120, 57.375]

@@ -151,7 +151,9 @@ class Trainer:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         self._dump_config()
 
-        self.model = build_model_from_cfg(cfg)
+        dtype = (jnp.bfloat16 if cfg.MODEL.get("COMPUTE_DTYPE", "float32")
+                 == "bfloat16" else jnp.float32)
+        self.model = build_model_from_cfg(cfg, dtype=dtype)
         # the data mesh must evenly divide the global batch
         import math
 
