@@ -42,12 +42,16 @@ static void string_to_runs(const char* s, int64_t n, std::vector<int64_t>& cnts)
     int64_t x = 0;
     int k = 0;
     bool more = true;
-    while (more) {
+    // bounds-checked: a truncated string whose last byte carries the
+    // continuation bit must not read past the buffer; shifts are clamped
+    // below 64 bits (>= 64-bit shifts are UB and only reachable on
+    // malformed input)
+    while (more && p < n) {
       char c = s[p] - 48;
-      x |= (int64_t)(c & 0x1f) << (5 * k);
+      if (k < 12) x |= (int64_t)(c & 0x1f) << (5 * k);
       more = (c & 0x20) != 0;
       p++;
-      if (!more && (c & 0x10)) x |= -1LL << (5 * k + 5);
+      if (!more && (c & 0x10) && k < 11) x |= -1LL << (5 * k + 5);
       k++;
     }
     if (cnts.size() > 2) x += cnts[cnts.size() - 2];
@@ -90,6 +94,9 @@ void rle_decode(const char* s, int64_t slen, int64_t h, int64_t w, uint8_t* out)
   uint8_t v = 0;
   for (size_t i = 0; i < runs.size() && pos < n; i++) {
     int64_t c = runs[i];
+    // malformed (negative) run counts must not reach memset: a negative
+    // int64 cast to size_t is ~2^64 and segfaults the whole process
+    if (c < 0) c = 0;
     if (c > n - pos) c = n - pos;
     memset(out + pos, v, (size_t)c);
     pos += c;

@@ -135,3 +135,74 @@ class TestPolygon:
         m = rle.poly_to_mask(poly, 12, 14)
         assert m[5, 6] == 1 and m[0, 0] == 0
         assert m[3, 2] == 1  # boundary included
+
+
+class TestNativeRobustness:
+    """Regressions for native-codec bugs found by review (confirmed by
+    execution): list-form counts through iou, malformed counts through
+    decode (previously a SIGSEGV), float-mask encode thresholding. All
+    assertions also hold for the pure-python path when the lib is absent."""
+
+    def test_iou_accepts_uncompressed_list_counts(self):
+        m = np.zeros((8, 8), np.uint8)
+        m[3:6, 3:6] = 1
+        r = rle.encode(m)
+        runs = [int(x) for x in rle._to_runs(r)]
+        r_list = {"size": [8, 8], "counts": runs}
+        got = rle.iou([r], [r_list], [0])
+        np.testing.assert_allclose(got, [[1.0]])
+
+    def test_decode_malformed_counts_no_crash(self):
+        # negative-run encoding + trailing continuation bit: must not
+        # segfault / read out of bounds; any all-zero-ish mask is fine
+        out = rle.decode({"size": [8, 8], "counts": b"5M:"})
+        assert out.shape == (8, 8)
+        out2 = rle.decode({"size": [8, 8], "counts": b"5M\x7f"})
+        assert out2.shape == (8, 8)
+
+    def test_encode_float_mask_thresholds(self):
+        m = np.full((4, 4), 0.5, np.float32)
+        r = rle.encode(m)
+        assert rle.area(r) == 16  # nonzero == foreground, any dtype
+
+    def test_merge_empty(self):
+        r = rle.merge([])
+        assert r["size"] == [0, 0] and r["counts"] == b""
+
+    def test_iou_size_mismatch_raises_or_matches_python(self):
+        a = rle.encode(np.ones((8, 8), np.uint8))
+        b = rle.encode(np.ones((4, 4), np.uint8))
+        if rle._HAVE_NATIVE:
+            with np.testing.assert_raises(ValueError):
+                rle.iou([a], [b], [0])
+
+
+def test_string_to_counts_vectorized_matches_loop():
+    """The vectorised LEB parser agrees with a straight per-byte reader on
+    random masks (incl. large counts needing multi-group encodings)."""
+    def loop_parse(s):
+        counts = []
+        i, n = 0, len(s)
+        while i < n:
+            x, k, more = 0, 0, True
+            while more:
+                c = s[i] - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                i += 1
+                if not more and (c & 0x10):
+                    x |= -1 << (5 * k + 5)
+                k += 1
+            if len(counts) > 2:
+                x += counts[len(counts) - 2]
+            counts.append(x)
+        return np.asarray(counts, np.int64)
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        m = (rng.uniform(size=(120, 160)) < rng.uniform(0.02, 0.9)).astype(np.uint8)
+        s = rle.encode(m)["counts"]
+        np.testing.assert_array_equal(rle._string_to_counts(s), loop_parse(s))
+    # degenerate: huge single run (multi-group encoding)
+    s = rle._counts_to_string(np.asarray([10**7, 5, 10**7]))
+    np.testing.assert_array_equal(rle._string_to_counts(s), loop_parse(s))
