@@ -76,3 +76,31 @@ class TestEvalSlice:
         assert set(od[0]) == {"n_corr", "cost", "best_camera", "gt_camera",
                               "best_assignment", "plane_param_override", "image_ids"}
         assert od[0]["best_camera"]["rotation"].shape == (4,)
+        # the soft matching affinity feeds the vis CLI's stitched figure
+        assert p.get("pred_aff") is not None
+
+    def test_vis_cli_consumes_artifacts(self, trainer, tiny_cfg, tmp_path):
+        """vis_NopeSAC renders every artifact family from the freshly
+        written .pth/.pkl contract (depends on test_inference_eval_and_
+        artifacts having run - module-scoped trainer keeps the files)."""
+        import subprocess
+        import sys
+
+        out = tiny_cfg.OUTPUT_DIR
+        pth = os.path.join(out, "NopeSAC_instances_predictions.pth")
+        cont = os.path.join(out, "continuous.pkl")
+        if not os.path.exists(pth):
+            pytest.skip("artifact test did not run first")
+        vis_dir = str(tmp_path / "vis")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "vis_NopeSAC.py"),
+             "--rcnn-cached-file", pth, "--optimized-dict-path", cont,
+             "--output-dir", vis_dir, "--one-plane-cams"],
+            capture_output=True, text=True, timeout=300, cwd=repo)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        files = os.listdir(vis_dir)
+        assert any(f.endswith("_matching.png") for f in files)
+        assert any(f.endswith("_affinity_pred.png") for f in files)
+        assert any(f.endswith("_scene.obj") for f in files)
+        assert any("_cam_onePP" in f for f in files)
