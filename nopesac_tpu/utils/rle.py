@@ -125,7 +125,9 @@ def decode(rle: RLE) -> np.ndarray:
         runs = np.asarray(list(counts), dtype=np.int64)
     vals = np.zeros(len(runs), dtype=np.uint8)
     vals[1::2] = 1
-    flat = np.repeat(vals, runs)
+    # malformed encodings can yield negative deltas - clamp like the native
+    # codec does rather than crash (np.repeat rejects negative repeats)
+    flat = np.repeat(vals, np.maximum(runs, 0))
     if flat.size < h * w:
         flat = np.concatenate([flat, np.zeros(h * w - flat.size, np.uint8)])
     return flat[: h * w].reshape(w, h).T
