@@ -46,6 +46,54 @@ class TestMapper:
         assert s["gt_pose"][3] >= 0  # w canonicalised
         assert s["corr_valid"].sum() == 5
 
+    def test_idempotent_on_in_memory_images(self):
+        """The mapper normalises images in place on a fresh copy - the stored
+        in-memory dataset image must NOT be mutated across repeated calls."""
+        data = make_dataset(1, n_planes=3, h=96, w=128)
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
+        before = np.array(data[0]["0"]["image"], np.float32)
+        s1 = mapper(data[0])
+        np.testing.assert_array_equal(np.asarray(data[0]["0"]["image"], np.float32), before)
+        s2 = mapper(data[0])
+        np.testing.assert_array_equal(s1["image0"], s2["image0"])
+
+    def test_overlap_resolution_and_centers(self):
+        """Overlapping annotation masks resolve first-wins; centers and the
+        pixel-center map match the reference's brute-force per-pixel formula
+        (prepare_targets:498-507)."""
+        from nopesac_tpu.utils import rle as rle_util
+
+        h, w = 32, 40
+        m0 = np.zeros((h, w), np.uint8); m0[4:20, 4:24] = 1
+        m1 = np.zeros((h, w), np.uint8); m1[10:28, 12:36] = 1  # overlaps m0
+        view = {
+            "image_id": "synth_x", "height": h, "width": w,
+            "annotations": [
+                {"segmentation": rle_util.encode(m), "plane": [0.0, 0.0, float(k + 1)]}
+                for k, m in enumerate((m0, m1))
+            ],
+        }
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
+        t = mapper.view_targets(view)
+        got = t["gt_masks"][:2]
+        # first annotation wins on the overlap
+        np.testing.assert_array_equal(got[0], m0)
+        np.testing.assert_array_equal(got[1], m1 & ~m0)
+        assert (got.sum(0) <= 1).all()
+        # brute-force center formula on the resolved masks
+        ys = (np.arange(h, dtype=np.float32) / h)[None, :, None]
+        xs = (np.arange(w, dtype=np.float32) / w)[None, None, :]
+        mf = got.astype(np.float32)
+        areas = mf.sum(axis=(1, 2)) + 1e-10
+        np.testing.assert_allclose(
+            t["gt_centers"][:2, 0], (mf * xs).sum(axis=(1, 2)) / areas, atol=1e-6)
+        np.testing.assert_allclose(
+            t["gt_centers"][:2, 1], (mf * ys).sum(axis=(1, 2)) / areas, atol=1e-6)
+        pc = np.zeros((h, w, 2), np.float32)
+        for i in range(2):
+            pc[got[i] > 0] = t["gt_centers"][i]
+        np.testing.assert_allclose(t["gt_pixel_centers"], pc, atol=1e-6)
+
     def test_eval_sample_no_targets(self):
         data = make_dataset(1, n_planes=3, h=96, w=128)
         mapper = PairMapper(is_train=False, dataset_kind="mp3d", image_size=(96, 128))
