@@ -21,15 +21,21 @@ import numpy as np
 
 from ..core import geometry as geo
 from ..utils import rle as rle_util
+from . import packing
 from .cam_bins import CameraBins
 
 MP3D_PATH_PREFIX = "/Pool1/users/jinlinyi/dataset/mp3d_rpnet_v4_sep20/"
 
 
+_DEFAULT_FOCAL = 517.97
+_DEFAULT_K = np.array(
+    [[_DEFAULT_FOCAL, 0, 320.0], [0, _DEFAULT_FOCAL, 240.0], [0, 0, 1.0]],
+    np.float32)
+
+
 def _np_coordinate_map(h, w, k_matrix=None):
     if k_matrix is None:
-        focal = 517.97
-        k_matrix = np.array([[focal, 0, 320.0], [0, focal, 240.0], [0, 0, 1.0]], np.float32)
+        k_matrix = _DEFAULT_K
     k_inv = np.linalg.inv(np.asarray(k_matrix, np.float64)).astype(np.float32)
     x = (np.arange(w, dtype=np.float32) / w * 640.0)[None, :].repeat(h, 0)
     y = (np.arange(h, dtype=np.float32) / h * 480.0)[:, None].repeat(w, 1)
@@ -77,7 +83,10 @@ class PairMapper:
                 self.bins = CameraBins(dataset=dataset_kind)
             except Exception:
                 self.bins = None
-        self.default_kmap = _np_coordinate_map(self.h, self.w)
+        # wire format ships k_inv (3x3) instead of the 3xHxW ray map; the
+        # f64 inverse here keeps parity with _np_coordinate_map
+        self.default_kinv = np.linalg.inv(
+            np.asarray(_DEFAULT_K, np.float64)).astype(np.float32)
 
     # ---------------- image / mask IO ----------------
     def _read_image(self, path: str) -> np.ndarray:
@@ -133,7 +142,7 @@ class PairMapper:
             # in-memory depth (synthetic fixtures render analytic plane
             # depth, data/synthetic.py; twin of the obs-pickle depth_sensor)
             depth = np.asarray(view["depth"], np.float32)
-        kmap = self.default_kmap
+        kinv = self.default_kinv
         masks = None
 
         if self.kind == "mp3d":
@@ -157,7 +166,8 @@ class PairMapper:
             ann = self._scannet_ann(view)
             if ann is not None and len(ann["plane_masks"]) > 0:
                 masks = np.stack([np.asarray(m, np.uint8) for m in ann["plane_masks"]])[: nq]
-                kmap = _np_coordinate_map(h, w, ann["camera_K"])
+                kinv = np.linalg.inv(
+                    np.asarray(ann["camera_K"], np.float64)).astype(np.float32)
                 dpath = view["file_name"].replace("color", "depth").replace(".jpg", ".png")
                 if os.path.exists(dpath):
                     from PIL import Image
@@ -216,25 +226,38 @@ class PairMapper:
         gt_centers[:n, 0] = row @ xs / areas
         gt_centers[:n, 1] = col @ ys / areas
 
-        # masks are disjoint, so scatter == one [h*w, n] @ [n, 2] matmul
-        pixel_centers = (
-            m8.reshape(n, -1).astype(np.float32).T @ gt_centers[:n]
-        ).reshape(h, w, 2) if n else np.zeros((h, w, 2), np.float32)
-
         if depth.shape != (h, w):
             from PIL import Image
 
             depth = np.asarray(Image.fromarray(depth).resize((w, h)), np.float32)
 
-        return {
+        # WIRE FORMAT (data/packing.py): masks bit-packed along W, k_inv 3x3
+        # instead of the 3xHxW ray map, pixel-center map rebuilt on device
+        # from (gt_masks, gt_centers). This shrinks the collated 480x640/bs=8
+        # batch from ~423 MB to ~110 MB - collate memcpy and the host->device
+        # transfer were the end-to-end train-step bottleneck.
+        out = {
             "gt_valid": gt_valid,
-            "gt_masks": gt_masks,
             "gt_params": gt_params,
             "gt_centers": gt_centers,
-            "gt_pixel_centers": pixel_centers,
             "depth": depth,
-            "k_inv_dot_xy1": kmap.astype(np.float32),
         }
+        if w % 8 == 0:
+            out["gt_masks_packed"] = packing.pack_mask_bits_np(gt_masks)
+            out["k_inv"] = kinv
+        else:
+            # odd widths can't bit-pack: classic (unpacked) keys
+            out["gt_masks"] = gt_masks
+            out["gt_pixel_centers"] = (
+                gt_masks.reshape(nq, -1).astype(np.float32).T @ gt_centers
+            ).reshape(h, w, 2)
+            xy1 = np.stack([
+                (np.arange(w, dtype=np.float32) / w * 640.0)[None, :].repeat(h, 0),
+                (np.arange(h, dtype=np.float32) / h * 480.0)[:, None].repeat(w, 1),
+                np.ones((h, w), np.float32),
+            ]).reshape(3, -1)
+            out["k_inv_dot_xy1"] = (kinv @ xy1).reshape(3, h, w)
+        return out
 
     # ---------------- full pair ----------------
     def __call__(self, pair: dict, aug_seed: Optional[int] = None) -> Dict:

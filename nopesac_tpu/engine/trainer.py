@@ -282,6 +282,7 @@ class Trainer:
         metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
         start = int(self.state.step)
         t0 = time.time()
+        last_log = None
         if self._loader is None:
             self._loader = self._build_train_loader()
         it = iter(self._loader)
@@ -294,7 +295,15 @@ class Trainer:
             if jax.process_index() == 0 and (step % 20 == 0 or step == max_iter - 1):
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m["iteration"] = step
+                # cumulative average (includes the initial compile) ...
                 m["time_per_iter"] = (time.time() - t0) / max(step - start + 1, 1)
+                # ... and the steady-state rate since the previous log line,
+                # which is what throughput comparisons should read
+                now = time.time()
+                if last_log is not None:
+                    last_step, last_t = last_log
+                    m["time_per_iter_recent"] = (now - last_t) / max(step - last_step, 1)
+                last_log = (step, now)
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(m) + "\n")
                 logger.info("iter %d total %.4f", step, m.get("total_loss", -1))

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from ..core.assignment import mutual_max_assignment
 from ..core.geometry import canonicalize_quat_sign, normalize
+from ..data.packing import unpack_targets
 from ..losses import camera_losses as CL
 from ..losses import criterion as CR
 from ..ops.select_pallas import fused_select_maps
@@ -155,7 +156,11 @@ class PlaneTRNopeSAC(nn.Module):
         batches. Returns a dict of scalar losses (already weighted).
         """
         losses: Dict[str, jnp.ndarray] = {}
-        t0, t1 = batch["targets0"], batch["targets1"]
+        # targets arrive in the compact wire format (data/packing.py: masks
+        # bit-packed, ray map as k_inv 3x3) - restore the classic keys here,
+        # on device; passthrough for hand-built unpacked dicts
+        t0 = unpack_targets(batch["targets0"])
+        t1 = unpack_targets(batch["targets1"])
         b = batch["image0"].shape[0]
 
         mw = {

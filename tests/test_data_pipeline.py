@@ -3,6 +3,7 @@ import pytest
 
 from nopesac_tpu.data.loader import PairLoader
 from nopesac_tpu.data.mapper import PairMapper, collate
+from nopesac_tpu.data.packing import unpack_targets, unpack_targets_np
 from nopesac_tpu.data.synthetic import make_dataset, make_pair, _warp_plane_np, FLIP
 
 
@@ -34,8 +35,9 @@ class TestMapper:
         mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
         s = mapper(data[0])
         assert s["image0"].shape == (96, 128, 3)
-        t = s["targets0"]
+        t = unpack_targets_np(s["targets0"])
         assert t["gt_valid"].shape == (50,) and t["gt_valid"].sum() == 5
+        assert s["targets0"]["gt_masks_packed"].shape == (50, 96, 128 // 8)
         assert t["gt_masks"].shape == (50, 96, 128)
         assert t["gt_masks"][0].sum() > 0
         assert t["gt_params"].shape == (50, 3)
@@ -74,7 +76,7 @@ class TestMapper:
             ],
         }
         mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
-        t = mapper.view_targets(view)
+        t = unpack_targets_np(mapper.view_targets(view))
         got = t["gt_masks"][:2]
         # first annotation wins on the overlap
         np.testing.assert_array_equal(got[0], m0)
@@ -106,8 +108,36 @@ class TestMapper:
         mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
         batch = collate([mapper(d) for d in data])
         assert batch["image0"].shape == (3, 96, 128, 3)
-        assert batch["targets1"]["gt_masks"].shape == (3, 50, 96, 128)
+        assert batch["targets1"]["gt_masks_packed"].shape == (3, 50, 96, 128 // 8)
         assert len(batch["meta"]) == 3
+
+    def test_wire_format_roundtrip(self):
+        """Device unpack (jnp) == host unpack (np) == the classic target
+        keys the criterion consumes; ray map matches _np_coordinate_map."""
+        import jax
+
+        from nopesac_tpu.data.mapper import _np_coordinate_map
+
+        data = make_dataset(1, n_planes=4, h=96, w=128)
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(96, 128))
+        wire = mapper(data[0])["targets0"]
+        t_np = unpack_targets_np(wire)
+        t_dev = jax.tree_util.tree_map(
+            np.asarray, unpack_targets({k: np.asarray(v) for k, v in wire.items()}))
+        for k in ("gt_masks", "gt_pixel_centers", "k_inv_dot_xy1"):
+            np.testing.assert_allclose(t_np[k], t_dev[k], atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(
+            t_np["k_inv_dot_xy1"], _np_coordinate_map(96, 128), atol=1e-5)
+        # masks round-trip exactly; pixel centers match the per-mask scatter
+        assert t_np["gt_masks"].dtype == np.uint8
+        assert (np.unique(t_np["gt_masks"]) <= 1).all()
+        pc = np.zeros((96, 128, 2), np.float32)
+        for i in range(4):
+            pc[t_np["gt_masks"][i] > 0] = t_np["gt_centers"][i]
+        np.testing.assert_allclose(t_np["gt_pixel_centers"], pc, atol=1e-5)
+        # passthrough: an already-unpacked dict is returned unchanged
+        again = unpack_targets_np(t_np)
+        assert set(again) == set(t_np)
 
 
 class TestLoader:

@@ -235,7 +235,9 @@ class TestScanNetFullAssembly:
         mapper = PairMapper(is_train=True, dataset_kind="scannet",
                             root_dir=out, image_size=(480, 640))
         sample = mapper(rec)
-        t0 = sample["targets0"]
+        from nopesac_tpu.data.packing import unpack_targets_np
+
+        t0 = unpack_targets_np(sample["targets0"])
         n = int(t0["gt_valid"].sum())
         assert n == rec["0"]["gt_plane_num"]
         assert t0["gt_masks"][:n].sum() > 0
