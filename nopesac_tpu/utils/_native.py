@@ -1,17 +1,51 @@
 """ctypes loader for the native RLE codec (nopesac_tpu/csrc/rle.cc).
 
-Build with `make -C nopesac_tpu/csrc` (produces libnopesac_native.so next to
-this file). Falls back gracefully when the library is missing - rle.py uses
-its pure-python implementation.
+The shared library is built on demand at first use (single g++ invocation,
+~1 s) so the C++ codec is the default path in tests, bench, and eval alike;
+`make -C nopesac_tpu/csrc` still works for explicit builds. Set
+NOPESAC_NO_NATIVE_BUILD=1 to suppress the auto-build (rle.py then uses its
+pure-python implementation).
 """
 from __future__ import annotations
 
 import ctypes
 import os
+import shutil
+import subprocess
+import tempfile
 
 import numpy as np
 
 _LIB = None
+_BUILD_TRIED = False
+
+
+def _try_build(target: str) -> None:
+    """Compile csrc/rle.cc -> target atomically (tempfile + rename).
+
+    Atomic rename makes concurrent builders (pytest workers, forked eval
+    pools) race-safe: last writer wins, every reader sees a complete .so.
+    """
+    global _BUILD_TRIED
+    if _BUILD_TRIED or os.environ.get("NOPESAC_NO_NATIVE_BUILD"):
+        return
+    _BUILD_TRIED = True
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "csrc", "rle.cc")
+    cxx = os.environ.get("CXX", "g++")
+    if not os.path.exists(src) or shutil.which(cxx) is None:
+        return
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(target))
+    os.close(fd)
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-fPIC", "-std=c++17", "-shared", "-o", tmp, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.rename(tmp, target)
+    except (subprocess.SubprocessError, OSError):
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -23,6 +57,8 @@ def _load():
         os.path.join(here, "libnopesac_native.so"),
         os.path.join(here, "..", "csrc", "libnopesac_native.so"),
     ]
+    if not any(os.path.exists(p) for p in candidates):
+        _try_build(candidates[0])
     for path in candidates:
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
