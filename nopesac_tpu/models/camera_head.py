@@ -32,6 +32,18 @@ from .layers import MLP, ConvBN, ConvGN, max_pool_2x2, upsample_nearest, xavier_
 Dtype = Any
 
 
+def _torch_linear_init(fan_in: int):
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)),
+    applied to both kernel and bias (the reference's trans/rots regressors
+    are plain nn.Linear, camera_head.py:64-65)."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _nquat(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion normalisation for regressor outputs: exactly unit whenever
     |q| > 1e-3, with the normalisation gradient bounded at ~1e3.
@@ -183,9 +195,15 @@ class PlaneCameraHead(nn.Module):
         self.convs_rots = ConvStack(**down, name="convs_rots")
         self.fc_trans = nn.Dense(256, dtype=self.dtype, kernel_init=xavier_uniform)
         self.fc_rots = nn.Dense(256, dtype=self.dtype, kernel_init=xavier_uniform)
-        # shared pose regressors (camera_head.py:64-65)
-        self.trans = nn.Dense(3, dtype=self.dtype, kernel_init=xavier_uniform)
-        self.rots = nn.Dense(4, dtype=self.dtype, kernel_init=xavier_uniform)
+        # shared pose regressors (camera_head.py:64-65). These are plain
+        # nn.Linear in the reference, i.e. torch-default U(+-1/sqrt(fan_in))
+        # for BOTH kernel and bias: the nonzero bias keeps the raw quat away
+        # from zero at init, which bounds the normalisation gradient in
+        # camera_pose_loss (a zero-bias init produced the iter-0 grad-norm
+        # spike; see losses/camera_losses.py).
+        tl = _torch_linear_init(256)
+        self.trans = nn.Dense(3, dtype=self.dtype, kernel_init=tl, bias_init=tl)
+        self.rots = nn.Dense(4, dtype=self.dtype, kernel_init=tl, bias_init=tl)
 
         if self.cam_rec_on:
             self.rot_emb_proj = MLP(256, 256, 6, dtype=self.dtype)

@@ -254,7 +254,6 @@ def _make_detectron2() -> None:
     modeling_mod = types.ModuleType("detectron2.modeling")
     modeling_mod.META_ARCH_REGISTRY = Registry("META_ARCH")
     modeling_mod.SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
-    modeling_mod.build_backbone = None  # parity tests construct heads directly
     modeling_mod.build_sem_seg_head = None
 
     backbone_mod = types.ModuleType("detectron2.modeling.backbone")
@@ -264,6 +263,86 @@ def _make_detectron2() -> None:
             return {}
 
     backbone_mod.Backbone = Backbone
+
+    # --- d2-faithful ResNet-50 (clean-room from the architecture the
+    # reference pins: build_resnet_backbone, DEPTH=50, STEM_OUT_CHANNELS=64,
+    # STRIDE_IN_1X1=False i.e. stride on the 3x3 conv, FrozenBN, OUT_FEATURES
+    # res2-res5 — /root/reference/configs/Base.yaml:1-12). State-dict naming
+    # follows the d2 checkpoint convention (stem.conv1.*, resN.B.convK.*,
+    # resN.B.shortcut.*, each with .norm.{weight,bias,running_mean,
+    # running_var}) so released-checkpoint import paths are exercised 1:1. ---
+    class _BottleneckBlock(nn.Module):
+        def __init__(self, in_ch, bottleneck_ch, out_ch, stride):
+            super().__init__()
+            self.conv1 = Conv2d(in_ch, bottleneck_ch, 1, stride=1, bias=False,
+                                norm=FrozenBatchNorm2d(bottleneck_ch))
+            self.conv2 = Conv2d(bottleneck_ch, bottleneck_ch, 3, stride=stride,
+                                padding=1, bias=False,
+                                norm=FrozenBatchNorm2d(bottleneck_ch))
+            self.conv3 = Conv2d(bottleneck_ch, out_ch, 1, bias=False,
+                                norm=FrozenBatchNorm2d(out_ch))
+            if in_ch != out_ch or stride != 1:
+                self.shortcut = Conv2d(in_ch, out_ch, 1, stride=stride,
+                                       bias=False,
+                                       norm=FrozenBatchNorm2d(out_ch))
+            else:
+                self.shortcut = None
+
+        def forward(self, x):
+            out = torch.relu(self.conv1(x))
+            out = torch.relu(self.conv2(out))
+            out = self.conv3(out)
+            sc = self.shortcut(x) if self.shortcut is not None else x
+            return torch.relu(out + sc)
+
+    class _Stem(nn.Module):
+        def __init__(self, out_ch=64):
+            super().__init__()
+            self.conv1 = Conv2d(3, out_ch, 7, stride=2, padding=3, bias=False,
+                                norm=FrozenBatchNorm2d(out_ch))
+
+        def forward(self, x):
+            x = torch.relu(self.conv1(x))
+            return nn.functional.max_pool2d(x, kernel_size=3, stride=2,
+                                            padding=1)
+
+    class RefResNet50(Backbone):
+        _STAGES = (("res2", 3, 64, 256, 1), ("res3", 4, 128, 512, 2),
+                   ("res4", 6, 256, 1024, 2), ("res5", 3, 512, 2048, 2))
+
+        def __init__(self):
+            super().__init__()
+            self.stem = _Stem(64)
+            in_ch = 64
+            for name, n_blocks, bneck, out_ch, stride in self._STAGES:
+                blocks = []
+                for b in range(n_blocks):
+                    blocks.append(_BottleneckBlock(
+                        in_ch, bneck, out_ch, stride if b == 0 else 1))
+                    in_ch = out_ch
+                setattr(self, name, nn.Sequential(*blocks))
+            self.size_divisibility = 0
+
+        def forward(self, x):
+            x = self.stem(x)
+            out = {}
+            for name, *_ in self._STAGES:
+                x = getattr(self, name)(x)
+                out[name] = x
+            return out
+
+        def output_shape(self):
+            strides = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+            return {name: ShapeSpec(channels=out_ch, stride=strides[name])
+                    for name, _, _, out_ch, _ in self._STAGES}
+
+    def build_backbone(cfg, input_shape=None):
+        assert cfg.MODEL.BACKBONE.NAME == "build_resnet_backbone"
+        assert cfg.MODEL.RESNETS.DEPTH == 50
+        return RefResNet50()
+
+    modeling_mod.build_backbone = build_backbone
+    backbone_mod.RefResNet50 = RefResNet50
 
     postproc_mod = types.ModuleType("detectron2.modeling.postprocessing")
 

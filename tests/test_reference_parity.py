@@ -627,6 +627,62 @@ class TestPixelCameraHeadForward:
                np.asarray(out["rot_feat"]), pose_feats["rots_feat"].numpy(), 1e-4)
 
 
+class TestBackboneImport:
+    """d2 ResNet-50 backbone — stem 7x7/2 + FrozenBN + maxpool, bottleneck
+    stages res2-res5 with stride-on-3x3 (STRIDE_IN_1X1=False) — against a
+    d2-faithful torch ResNet (refstubs.RefResNet50, clean-room from
+    /root/reference/configs/Base.yaml:1-12) with the SAME weights and
+    perturbed BN statistics imported through utils/torch_import.py. This is
+    the path released checkpoints (README.md:70) take into models/resnet.py."""
+
+    def test_feature_parity(self, tmp_path):
+        from detectron2.modeling.backbone import RefResNet50
+
+        from nopesac_tpu.models.resnet import ResNet
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+
+        torch.manual_seed(7)
+        ref = RefResNet50()
+        # random conv weights (default torch init) + perturbed frozen stats:
+        # fresh FrozenBN has mean=0/var=1 on both sides, which would hide a
+        # broken stats import
+        rng_t = torch.Generator().manual_seed(11)
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_mean"):
+                buf.data.normal_(0.0, 0.5, generator=rng_t)
+            elif name.endswith("running_var"):
+                buf.data.uniform_(0.5, 1.5, generator=rng_t)
+        ref = ref.eval()
+        ckpt = tmp_path / "bb.pth"
+        torch.save({"model": {f"backbone.{k}": v
+                              for k, v in ref.state_dict().items()}}, str(ckpt))
+
+        rng = np.random.default_rng(6)
+        img = (rng.normal(size=(2, 3, 96, 128)) * 0.7).astype(np.float32)
+        with torch.no_grad():
+            ref_feats = ref(_t(img))
+
+        ours_mod = ResNet()
+        img_j = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+        variables = ours_mod.init(jax.random.PRNGKey(0), img_j)
+        tree = import_torch_weights({"backbone": variables["params"]}, str(ckpt))
+        # every leaf must have been overwritten: conv kernels are random on
+        # both sides, BN stats perturbed — anything untouched diverges below,
+        # but check leaf count too so silent no-op imports can't pass
+        n_torch = len(ref.state_dict())
+        n_flax = len(jax.tree_util.tree_leaves(tree["backbone"]))
+        assert n_torch == n_flax, (n_torch, n_flax)
+
+        feats = ours_mod.apply({"params": tree["backbone"]}, img_j)
+        for name in ("res2", "res3", "res4", "res5"):
+            ref_nhwc = np.transpose(ref_feats[name].numpy(), (0, 2, 3, 1))
+            record(
+                f"ResNet-50 {name} [{n_torch} torch tensors] "
+                "(d2 build_resnet_backbone, Base.yaml:4-12)",
+                np.asarray(feats[name]), ref_nhwc,
+                {"res2": 1e-4, "res3": 2e-4, "res4": 5e-4, "res5": 1e-3}[name])
+
+
 def teardown_module(module):
     """Append this run's diffs where tools/parity_report.py can pick them up."""
     import json
