@@ -462,6 +462,25 @@ class PlaneTRNopeSAC(nn.Module):
         if not self.camera_on:
             return result
 
+        result.update(self.camera_inference(
+            feats_cat, qf0, qf1, sel0["params"], sel1["params"],
+            sel0["valid"], sel1["valid"], gt_geo=gt_geo))
+        return result
+
+    def camera_inference(self, feats_cat, qf0, qf1, params0, params1,
+                         valid0, valid1, gt_geo=None):
+        """Camera half of inference: initial pose, AIM, matching, NOPE-SAC
+        refinement, assignment re-gating, camera dict zoo.
+
+        Split out of `inference` so the pipeline parity harness can inject
+        backbone features / detected planes directly and exercise this exact
+        glue against the reference's inference_Joint (camera_head.py:400-640).
+
+        feats_cat: backbone features with both views concatenated on batch;
+        params0/1 [B, NQ, 3] padded plane params; valid0/1 [B, NQ] bool.
+        """
+        b = qf0.shape[0]
+        result = {}
         cameras = {}
         cameras["camera_zero"] = {
             "tran": jnp.zeros((b, 3), self.dtype),
@@ -491,10 +510,9 @@ class PlaneTRNopeSAC(nn.Module):
 
         # ---- plane matching with the reconstructed pose as geometric prior
         matcher_cam = jnp.concatenate([base_tran, base_rot], axis=-1)  # [B, 7]
-        params0, params1 = sel0["params"], sel1["params"]
         log_scores = self.matching_head(
             qf0, qf1, matcher_cam, params0, params1,
-            row_masks=sel0["valid"], col_masks=sel1["valid"],
+            row_masks=valid0, col_masks=valid1,
         )
         assignment = mutual_max_assignment(log_scores, self.matching_score_threshold)
         result["log_scores"] = log_scores

@@ -56,6 +56,152 @@ def teardown_module(module):
         json.dump(existing, f, indent=1, sort_keys=True)
 
 
+# --------------------------------------------------- inference_Joint (full)
+class TestInferenceJointExecuted:
+    """The reference's inference_Joint (camera_head.py:400-640) — initial
+    pose, sign canonicalisation, AIM reconstruction, matching with the rec
+    pose as geometric prior, mutual-max assignment, pred geo sequence,
+    refine + soft fusion, and the 45-degree/1-m assignment re-gating — vs
+    our camera_inference glue, with identical injected backbone features,
+    detected planes, and imported weights on both sides."""
+
+    @pytest.fixture(scope="class")
+    def both(self, tmp_path_factory):
+        from detectron2.layers import ShapeSpec
+
+        from NopeSAC_Net.modeling.camera_net.camera_head import PlaneCameraHead as RefCH
+        from NopeSAC_Net.modeling.matching_net.matching_head import MatchingHead as RefMH
+
+        from nopesac_tpu.config.config import get_cfg
+        from nopesac_tpu.engine.trainer import build_model_from_cfg
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+        from test_reference_parity import _save_ref_ckpt_with_perturbed_bn
+
+        tmp_path = tmp_path_factory.mktemp("joint")
+        cfg = get_cfg()
+        cfg.MODEL.MASK_ON = True
+        cfg.MODEL.EMBEDDING_ON = True
+        cfg.MODEL.CAMERA_ON = True
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        input_shape = {
+            f"res{i}": ShapeSpec(channels=c, stride=s)
+            for i, c, s in ((2, 256, 4), (3, 512, 8), (4, 1024, 16), (5, 2048, 32))
+        }
+        torch.manual_seed(17)
+        ref_ch = RefCH(cfg, input_shape)
+        ref_mh = RefMH(cfg)
+        state = {f"camera_head_list.0.{k}": v for k, v in ref_ch.state_dict().items()}
+        state.update({f"matching_head.{k}": v for k, v in ref_mh.state_dict().items()})
+        ckpt = tmp_path / "joint.pth"
+        # perturb the camera head's BN running stats so the stats import is
+        # load-bearing, then refresh its entries in the combined state dict
+        _save_ref_ckpt_with_perturbed_bn(ref_ch, "camera_head_list.0", ckpt)
+        state.update({f"camera_head_list.0.{k}": v
+                      for k, v in ref_ch.state_dict().items()})
+        torch.save({"model": state}, str(ckpt))
+        ref_ch = ref_ch.eval()
+        ref_mh = ref_mh.eval()
+
+        # ---- shared random inputs (bs=1: the reference's inference sign
+        # flips index batch row 0 only, siamese_planeTR.py:340 enforces bs=1)
+        rng = np.random.default_rng(23)
+        dims = {"res2": (256, 120, 160), "res3": (512, 60, 80),
+                "res4": (1024, 30, 40), "res5": (2048, 15, 20)}
+        f1 = {k: (rng.normal(size=(1, c, h, w)) * 0.3).astype(np.float32)
+              for k, (c, h, w) in dims.items()}
+        f2 = {k: (rng.normal(size=(1, c, h, w)) * 0.3).astype(np.float32)
+              for k, (c, h, w) in dims.items()}
+        n1, n2, nq, c = 7, 6, 50, 256
+        app1 = rng.normal(size=(1, n1, c)).astype(np.float32)
+        app2 = rng.normal(size=(1, n2, c)).astype(np.float32)
+        pl1 = (rng.normal(size=(1, n1, 3)) * 1.5).astype(np.float32)
+        pl2 = (rng.normal(size=(1, n2, 3)) * 1.5).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref_ch(
+                {k: _t(v) for k, v in f1.items()},
+                {k: _t(v) for k, v in f2.items()},
+                _t(pl1), _t(pl2), planeApp1=_t(app1), planeApp2=_t(app2),
+                gt_pose=None, batched_inputs=[{}], matching_net=ref_mh)
+        ref_cams, _, _, ref_logscores, ref_ass, ref_pose = ref_out
+
+        # ---- ours: same inputs through the real camera_inference glue
+        cfg2 = cfg.clone()
+        model = build_model_from_cfg(cfg2)
+        feats_cat = {k: jnp.asarray(np.transpose(
+            np.concatenate([f1[k], f2[k]], 0), (0, 2, 3, 1))) for k in dims}
+        qf0 = np.zeros((1, nq, c), np.float32)
+        qf1 = np.zeros((1, nq, c), np.float32)
+        qf0[:, :n1] = app1
+        qf1[:, :n2] = app2
+        params0 = np.zeros((1, nq, 3), np.float32)
+        params1 = np.zeros((1, nq, 3), np.float32)
+        params0[:, :n1] = pl1
+        params1[:, :n2] = pl2
+        valid0 = np.zeros((1, nq), bool)
+        valid1 = np.zeros((1, nq), bool)
+        valid0[:, :n1] = True
+        valid1[:, :n2] = True
+        args = (feats_cat, jnp.asarray(qf0), jnp.asarray(qf1),
+                jnp.asarray(params0), jnp.asarray(params1),
+                jnp.asarray(valid0), jnp.asarray(valid1))
+        from nopesac_tpu.models.nopesac import PlaneTRNopeSAC
+
+        variables = model.init(jax.random.PRNGKey(0), *args,
+                               method=PlaneTRNopeSAC.camera_inference)
+        params, bstats = import_torch_weights(
+            variables["params"], str(ckpt),
+            batch_stats=variables.get("batch_stats", {}))
+        out = model.apply({"params": params, "batch_stats": bstats}, *args,
+                          method=PlaneTRNopeSAC.camera_inference)
+        return ref_cams, ref_logscores, ref_ass, ref_pose, out, (n1, n2)
+
+    def test_camera_zoo(self, both):
+        ref_cams, _, _, _, out, _ = both
+        cams = out["cameras"]
+        for key, tol in (("camera_zero", 0.0), ("camera_init", 2e-4),
+                         ("camera_initRec", 5e-4), ("camera_avgRef0", 2e-3),
+                         ("camera_softRef0", 2e-3), ("camera", 2e-3)):
+            assert key in cams, f"ours missing {key}"
+            assert key in ref_cams, f"reference missing {key}"
+            record(f"pipeline: inference_Joint {key} tran "
+                   "(camera_head.py:400-640)",
+                   np.asarray(cams[key]["tran"]),
+                   ref_cams[key]["tran"].numpy(), max(tol, 1e-12))
+            record(f"pipeline: inference_Joint {key} rot "
+                   "(camera_head.py:400-640)",
+                   np.asarray(cams[key]["rot"]),
+                   ref_cams[key]["rot"].numpy(), max(tol, 1e-12))
+
+    def test_log_scores_and_assignment(self, both):
+        _, ref_logscores, ref_ass, _, out, (n1, n2) = both
+        ls = np.asarray(out["log_scores"])  # [1, NQ+1, NQ+1]
+        sel = np.ix_([0], list(range(n1)) + [50], list(range(n2)) + [50])
+        record("pipeline: inference_Joint matching log-scores "
+               "(camera_head.py:493-498)",
+               ls[sel], ref_logscores[0].numpy(), 1e-3)
+        before = np.asarray(out["assignment_beforeRef"])[0, :n1, :n2]
+        record("pipeline: assignment before refinement (camera_head.py:501)",
+               before, ref_ass["pred_assignment_beforeRef0"].numpy()[0], 0.0)
+        after = np.asarray(out["assignment"])[0, :n1, :n2]
+        record("pipeline: assignment after 45deg/1m re-gating "
+               "(camera_head.py:605-629)",
+               after, ref_ass["pred_assignment"].numpy()[0], 0.0)
+        assert before.sum() >= 3, "degenerate fixture: too few matches"
+
+    def test_one_plane_hypotheses(self, both):
+        _, _, _, ref_pose, out, _ = both
+        hv = np.asarray(out["camera_onePP"]["hyp_valid"][0])
+        m1 = int(hv.sum())
+        record("pipeline: one-plane hypothesis poses (camera_head.py:635-639)",
+               np.asarray(out["camera_onePP"]["tran"][0])[:m1],
+               ref_pose["all_pred_trans"].numpy()[0], 2e-3)
+        record("pipeline: one-plane hypothesis rots (camera_head.py:635-639)",
+               np.asarray(out["camera_onePP"]["rot"][0])[:m1],
+               ref_pose["all_pred_rots"].numpy()[0], 2e-3)
+
+
 # ------------------------------------------------------ GT corr matrix glue
 class TestCorrMatrixBuilder:
     """process_plane_corr_matrix (siamese_planeTR.py:566-623) vs
