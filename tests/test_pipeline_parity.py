@@ -345,7 +345,12 @@ class TestPostprocessExecuted:
     @pytest.mark.parametrize("case", ["normal", "zero", "all_filtered"])
     def test_regime(self, case):
         nq = 8
-        rng = np.random.default_rng(hash(case) % 2**31)
+        # str hash() is salted per process — a process-dependent seed made
+        # this flake whenever an unlucky draw left a mask logit near the 0.5
+        # gate; crc32 is stable across runs
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(case.encode()))
         out_np = _make_outputs(rng, nq, case)
         batched_inputs = [{
             "image_id": "pair0_0", "file_name": "/x/y.jpg",
