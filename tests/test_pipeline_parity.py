@@ -378,3 +378,171 @@ class TestPostprocessExecuted:
             np.asarray(ours["pred_plane_masks"]).astype(bool), ref_masks)
         DIFFS[f"pipeline: postprocess instance RLE+bbox+masks [{case}] "
               "(siamese_planeTR.py:684-803)"] = 0.0
+
+
+# ------------------------------------------------- full train-mode loss dict
+class TestTrainLossDictExecuted:
+    """The reference's FULL train-mode forward (siamese_planeTR.py:208-299) —
+    per-view detection + criterion, GT corr matrix over pred indices, matching
+    NLL, and the camera-loss zoo (pixelReg, AIM rec, 4 refine branches) —
+    executed on the real instantiated meta-arch vs our train_forward with
+    identical imported weights on a synthetic geometrically-consistent batch.
+
+    Determinism: dropout zeroed on both sides (reference hardcodes 0.1,
+    planeTR_head.py:80-88); RAND_ON off (torch/jax RNG streams can't match);
+    each pair's two view images are made identical so trainable-BN batch
+    statistics agree between the reference's per-view B batches and our
+    concatenated 2B batch (the documented layout deviation,
+    models/nopesac.py:187-193) — targets/poses/planes still differ per view.
+
+    Shapes are the real 480x640 / bs=1: the reference PixelCameraHead is
+    size-locked (the corr-softmax conv takes h2*w2=300 input channels and the
+    fc towers flatten fixed spatial dims, camera_head.py:78-114), so no
+    smaller fixture can execute it.
+    """
+
+    H, W = 480, 640
+
+    @pytest.fixture(scope="class")
+    def both(self, tmp_path_factory):
+        from nopesac_tpu.config.config import get_cfg
+        from nopesac_tpu.data.mapper import PairMapper, collate
+        from nopesac_tpu.data.synthetic import make_dataset
+        from nopesac_tpu.engine.trainer import build_model_from_cfg
+        from nopesac_tpu.utils import rle as rle_util
+        from nopesac_tpu.utils.torch_import import import_torch_weights
+
+        tmp = tmp_path_factory.mktemp("trainloss")
+        # plain-dict kmeans pickles: the ctor loads them unconditionally
+        # (siamese_planeTR.py:119-128) but with CLASSIFICATION_ON=False they
+        # are bookkeeping only — no sklearn needed to unpickle a dict
+        km_t, km_r = tmp / "ktrans.pkl", tmp / "krots.pkl"
+        with open(km_t, "wb") as f:
+            pickle.dump({"cluster_centers_": np.zeros((32, 3))}, f)
+        with open(km_r, "wb") as f:
+            pickle.dump({"cluster_centers_": np.zeros((32, 4))}, f)
+
+        cfg = get_cfg()
+        cfg.MODEL.DEVICE = "cpu"
+        cfg.MODEL.MASK_ON = True
+        cfg.MODEL.EMBEDDING_ON = True
+        cfg.MODEL.CAMERA_ON = True
+        cfg.MODEL.DEPTH_ON = True
+        cfg.MODEL.HUNGARIAN_MATCHER_ON = True
+        cfg.MODEL.LOSS_DETECTION_ON = True
+        cfg.MODEL.LOSS_CAMERA_ON = True
+        cfg.MODEL.LOSS_EMB_ON = True
+        cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        cfg.MODEL.CAMERA_HEAD.RAND_ON = False
+        cfg.MODEL.CAMERA_HEAD.KMEANS_TRANS_PATH = str(km_t)
+        cfg.MODEL.CAMERA_HEAD.KMEANS_ROTS_PATH = str(km_r)
+        cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.DROPOUT = 0.0
+
+        h, w = self.H, self.W
+        pairs = make_dataset(n_pairs=1, n_planes=6, h=h, w=w, seed=7)
+        for p in pairs:
+            p["1"]["image"] = p["0"]["image"]
+
+        # ---------------- reference: instantiate + run the real meta-arch
+        from NopeSAC_Net.modeling.meta_arch.siamese_planeTR import (
+            PlaneTR_NopeSAC as RefMeta, get_coordinate_map)  # noqa: F401
+
+        torch.manual_seed(3)
+        ref = RefMeta(cfg)
+        ref.train()
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+            if isinstance(m, torch.nn.MultiheadAttention):
+                m.dropout = 0.0
+        # the ctor precomputes the xy map at 480x640 (siamese_planeTR.py:805);
+        # regenerate at the fixture size
+        ref.precompute_xy_map(h=h, w=w)
+
+        from detectron2.structures import Instances
+
+        default_k = np.array([[517.97, 0, 320.0], [0, 517.97, 240.0],
+                              [0, 0, 1.0]], np.float64)
+
+        def ref_view(view):
+            n = len(view["annotations"])
+            sem = np.zeros((h, w), np.int64)
+            for i, ann in enumerate(view["annotations"]):
+                m = rle_util.seg_to_mask(ann["segmentation"], h, w)
+                sem[m > 0] = i + 1
+            inst = Instances((h, w))
+            inst.gt_classes = torch.zeros(n, dtype=torch.long)
+            inst.gt_planes = torch.tensor(
+                [ann["plane"] for ann in view["annotations"]],
+                dtype=torch.float32)
+            return {
+                "image": torch.from_numpy(
+                    np.ascontiguousarray(
+                        np.asarray(view["image"], np.float32).transpose(2, 0, 1))),
+                "instances": inst,
+                "semantic_map": torch.from_numpy(sem),
+                "depth": torch.from_numpy(np.asarray(view["depth"], np.float32)),
+                "camera_K": default_k,
+            }
+
+        batched_inputs = [{
+            "0": ref_view(p["0"]), "1": ref_view(p["1"]),
+            "rel_pose": p["rel_pose"], "gt_corrs": p["gt_corrs"],
+        } for p in pairs]
+
+        ckpt = tmp / "full.pth"
+        torch.save({"model": ref.state_dict()}, str(ckpt))
+        ref_losses = ref(batched_inputs)
+        ref_losses = {k: float(v.detach()) for k, v in ref_losses.items()}
+
+        # ---------------- ours: mapper -> wire batch -> train_forward
+        mapper = PairMapper(is_train=True, dataset_kind="mp3d",
+                            image_size=(h, w))
+        batch = collate([mapper(p) for p in pairs])
+        batch.pop("meta", None)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+        model = build_model_from_cfg(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            batch, jax.random.PRNGKey(2), method=model.init_all)
+        params, bstats = import_torch_weights(
+            variables["params"], str(ckpt),
+            batch_stats=variables.get("batch_stats", {}))
+        our_losses, _ = model.apply(
+            {"params": params, "batch_stats": bstats},
+            batch, jax.random.PRNGKey(3),
+            method=model.train_forward, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(4)})
+        our_losses = {k: float(v) for k, v in our_losses.items()}
+        return ref_losses, our_losses
+
+    def test_key_sets_match(self, both):
+        ref_losses, our_losses = both
+        assert set(our_losses) == set(ref_losses), (
+            f"ours-only: {sorted(set(our_losses) - set(ref_losses))}; "
+            f"ref-only: {sorted(set(ref_losses) - set(our_losses))}")
+
+    def test_every_loss_term(self, both):
+        ref_losses, our_losses = both
+        failures = []
+        for k in sorted(ref_losses):
+            # camera-head losses sit at the end of a real-backbone (50-layer
+            # f32) -> corr-volume-softmax -> pose-regressor -> hypothesis-warp
+            # chain; with injected features the same modules match at 1e-7
+            # (test_reference_parity), so the ~1e-2 drift here is f32
+            # accumulation through the backbone, and those terms get a looser
+            # gate than the detection/matching ones (observed max 9.5e-3)
+            deep_chain = ("CamRef" in k or "CamRec" in k or "pixelReg" in k)
+            tol = 2e-2 if deep_chain else 3e-3
+            o, r = our_losses[k], ref_losses[k]
+            diff = abs(o - r)
+            DIFFS[f"pipeline: train loss {k} (siamese_planeTR.py:208-299)"] = diff
+            if diff > tol + tol * abs(r):
+                failures.append(f"{k}: ours={o:.6g} ref={r:.6g} diff={diff:.3g}")
+        assert not failures, "train loss dict diverges:\n" + "\n".join(failures)
