@@ -28,6 +28,10 @@ class Checkpointer:
     def save(self, state: Any, step: int, name: Optional[str] = None) -> str:
         tag = name if name is not None else f"step_{step:08d}"
         path = os.path.join(self.dir, tag)
+        if jax.process_index() != 0:
+            # params/opt state are replicated; host 0 alone writes (a shared
+            # OUTPUT_DIR would otherwise race N identical writers)
+            return path
         state_host = jax.device_get(state)
         self._ckptr.save(path, state_host, force=True)
         with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
@@ -48,6 +52,56 @@ class Checkpointer:
         if path is None:
             return target
         return self._ckptr.restore(path, item=target)
+
+
+def load_orbax_tree(path: str) -> dict:
+    """Restore an orbax checkpoint WITHOUT a template: nested plain dicts.
+
+    Used for cross-stage MODEL.WEIGHTS loading, where the consuming model may
+    have submodules the checkpoint lacks (curriculum step1 -> step2 adds the
+    matching/camera heads) — a same-structure template restore would fail.
+    """
+    ocp = _ocp()
+    return ocp.PyTreeCheckpointer().restore(path)
+
+
+def merge_pytree(template: Any, loaded: Any, prefix: str = ""):
+    """Overlay `loaded` onto `template` by matching dict paths + leaf shapes.
+
+    Returns (merged, missing, unexpected): d2 DetectionCheckpointer
+    semantics — keys only in the template keep their (fresh-init) values and
+    are reported missing; checkpoint-only keys are reported unexpected;
+    shape mismatches are treated as missing+unexpected rather than fatal.
+    """
+    missing: list = []
+    unexpected: list = []
+
+    def walk(tpl, ld, pfx):
+        if isinstance(tpl, dict):
+            out = {}
+            ld = ld if isinstance(ld, dict) else {}
+            for k, v in tpl.items():
+                if k in ld:
+                    out[k] = walk(v, ld[k], f"{pfx}{k}.")
+                else:
+                    missing.append(f"{pfx}{k}")
+                    out[k] = v
+            for k in ld:
+                if k not in tpl:
+                    unexpected.append(f"{pfx}{k}")
+            return out
+        # leaf
+        if ld is None or isinstance(ld, dict):
+            missing.append(pfx[:-1])
+            return tpl
+        tpl_arr, ld_arr = np.asarray(tpl), np.asarray(ld)
+        if tpl_arr.shape != ld_arr.shape:
+            missing.append(f"{pfx[:-1]} (shape {ld_arr.shape} != {tpl_arr.shape})")
+            return tpl
+        return ld_arr.astype(tpl_arr.dtype)
+
+    merged = walk(template, loaded, prefix)
+    return merged, missing, unexpected
 
 
 def load_torch_checkpoint(path: str) -> dict:

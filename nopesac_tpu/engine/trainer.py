@@ -88,7 +88,13 @@ def gt_geo_from_samples(chunk: List[dict], samples: List[dict], nq: int,
     }
 
 
-def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32) -> PlaneTRNopeSAC:
+def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
+    """dtype=None resolves MODEL.COMPUTE_DTYPE from the config (bf16 compute
+    with f32 master weights when "bfloat16"); pass explicitly to override."""
+    if dtype is None:
+        dtype = (jnp.bfloat16
+                 if cfg.MODEL.get("COMPUTE_DTYPE", "float32") == "bfloat16"
+                 else jnp.float32)
     h = cfg.MODEL.SEM_SEG_HEAD
     cam = cfg.MODEL.CAMERA_HEAD
     return PlaneTRNopeSAC(
@@ -130,6 +136,22 @@ def build_model_from_cfg(cfg: CfgNode, dtype=jnp.float32) -> PlaneTRNopeSAC:
     )
 
 
+def _flatten_metrics(tree, prefix: str = "") -> Dict[str, float]:
+    """Nested evaluator results -> flat {dotted_key: float} for metrics.json
+    (non-numeric leaves are dropped)."""
+    flat: Dict[str, float] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_metrics(v, prefix=f"{key}."))
+        else:
+            try:
+                flat[key] = float(v)
+            except (TypeError, ValueError):
+                continue
+    return flat
+
+
 def _dataset_kind(name: str) -> str:
     return "scannet" if "scannet" in name else "mp3d"
 
@@ -151,28 +173,48 @@ class Trainer:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         self._dump_config()
 
-        dtype = (jnp.bfloat16 if cfg.MODEL.get("COMPUTE_DTYPE", "float32")
-                 == "bfloat16" else jnp.float32)
-        self.model = build_model_from_cfg(cfg, dtype=dtype)
+        self.model = build_model_from_cfg(cfg)
         # the data mesh must evenly divide the global batch
         import math
 
         n_dev = len(jax.devices())
-        if num_devices is not None:
+        n_proc = jax.process_count()
+        local_mesh = False
+        if not training:
+            # eval runs per-host unsharded over this host's dataset shard
+            # (reference: per-rank test loader + comm.gather,
+            # mp3d_evaluation.py:317-319); a cross-process mesh would make
+            # jit fail on every host whose devices it omits
+            if num_devices is not None and num_devices > n_dev:
+                raise ValueError(
+                    f"--num-gpus {num_devices} requested but only {n_dev} "
+                    f"device(s) visible")
+            n_use, local_mesh = 1, True
+        elif n_proc > 1:
+            # multi-host DP: one global program over ALL devices — a partial
+            # mesh would leave some host's devices outside the computation
+            if num_devices is not None and num_devices != n_dev:
+                raise ValueError(
+                    f"--num-gpus {num_devices} != {n_dev} global devices; "
+                    "multi-host training uses every device of every process")
+            if cfg.SOLVER.IMS_PER_BATCH % n_dev != 0:
+                raise ValueError(
+                    f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} must "
+                    f"divide by the {n_dev} global devices for multi-host DP")
+            n_use = n_dev
+        elif num_devices is not None:
             if num_devices > n_dev:
                 raise ValueError(
                     f"--num-gpus {num_devices} requested but only {n_dev} "
                     f"device(s) visible")
-            if training and cfg.SOLVER.IMS_PER_BATCH % num_devices != 0:
+            if cfg.SOLVER.IMS_PER_BATCH % num_devices != 0:
                 raise ValueError(
                     f"--num-gpus {num_devices} does not divide "
                     f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH}")
             n_use = num_devices
-        elif training:
-            n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
         else:
-            n_use = 1  # eval loop runs unsharded
-        self.mesh = make_mesh(n_use)
+            n_use = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+        self.mesh = make_mesh(n_use, local=local_mesh)
         self._repl = NamedSharding(self.mesh, P())
         if n_use != n_dev:
             logger.warning("using %d of %d devices (batch %d not divisible)",
@@ -202,7 +244,9 @@ class Trainer:
         )
         return PairLoader(
             dataset_list, mapper,
-            batch_size=cfg.SOLVER.IMS_PER_BATCH,
+            # each host loads only ITS slice of the global batch; shard_batch
+            # assembles the global array from the per-process slices
+            batch_size=cfg.SOLVER.IMS_PER_BATCH // jax.process_count(),
             shuffle=True, drop_last=True, seed=cfg.SEED,
             num_shards=jax.process_count(), shard_id=jax.process_index(),
             infinite=True,
@@ -260,10 +304,32 @@ class Trainer:
             # batch_stats too: BN running means/vars live outside params in
             # flax, and a trained torch checkpoint's stats are load-bearing
             return import_torch_weights(params, path, batch_stats=batch_stats)
-        restored = self.checkpointer.restore(
-            {"params": params, "batch_stats": batch_stats},
-            path if os.path.exists(path) else None)
-        return restored["params"], restored.get("batch_stats", batch_stats)
+        # orbax checkpoint (curriculum chaining: step N's model_final feeds
+        # step N+1's MODEL.WEIGHTS, train_mp3d_step2.yaml). The consuming
+        # model may have NEW submodules (step1 -> step2 adds matching/camera
+        # heads), so restore raw and overlay by path like d2's
+        # DetectionCheckpointer; params + batch_stats only — each curriculum
+        # stage starts a fresh optimizer (resume_or_load(resume=False)).
+        from .checkpoint import load_orbax_tree, merge_pytree
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"MODEL.WEIGHTS not found: {path}")
+        loaded = load_orbax_tree(path)
+        params, miss_p, unexp_p = merge_pytree(
+            params, loaded.get("params", {}), "params.")
+        batch_stats, miss_b, _ = merge_pytree(
+            batch_stats, loaded.get("batch_stats", {}), "batch_stats.")
+        missing = miss_p + miss_b
+        if missing:
+            logger.info("MODEL.WEIGHTS: %d tree paths kept fresh init "
+                        "(new submodules): %s%s", len(missing),
+                        ", ".join(missing[:8]),
+                        " ..." if len(missing) > 8 else "")
+        if unexp_p:
+            logger.warning("MODEL.WEIGHTS: %d checkpoint-only paths ignored: %s%s",
+                           len(unexp_p), ", ".join(unexp_p[:8]),
+                           " ..." if len(unexp_p) > 8 else "")
+        return params, batch_stats
 
     def resume_or_load(self, resume: bool = False):
         if resume:
@@ -278,9 +344,19 @@ class Trainer:
     def train(self, max_iter: Optional[int] = None):
         cfg = self.cfg
         max_iter = max_iter or cfg.SOLVER.MAX_ITER
-        rng = jax.random.PRNGKey(cfg.SEED + jax.process_index())
+        # process-INVARIANT rng: under pjit/GSPMD the train step is ONE global
+        # program, so every host must feed identical replicated inputs — XLA
+        # partitions the global dropout/AIM randomness across devices by
+        # itself. (The reference seeds per-rank, siamese_planeTR.py:51,
+        # because DDP runs N separate programs; doing that here would make
+        # hosts silently compute divergent gradients.)
+        rng = jax.random.PRNGKey(cfg.SEED)
         metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
         start = int(self.state.step)
+        if start == 0 and jax.process_index() == 0:
+            # fresh run: truncate any stale metrics from a previous run in
+            # the same OUTPUT_DIR (resume keeps appending, d2 semantics)
+            open(metrics_path, "w").close()
         t0 = time.time()
         last_log = None
         if self._loader is None:
@@ -318,7 +394,14 @@ class Trainer:
                     # ~1/(1-momentum) steps (see engine/precise_bn.py)
                     if cfg.TEST.PRECISE_BN.ENABLED:
                         self.state = self._precise_bn(self.state)
-                    self.test()
+                    res = self.test()
+                    # persist eval results next to the training losses (the
+                    # reference's EventStorage writes eval scalars into
+                    # metrics.json the same way)
+                    if jax.process_index() == 0 and res:
+                        row = {"iteration": step, "eval": _flatten_metrics(res)}
+                        with open(metrics_path, "a") as f:
+                            f.write(json.dumps(row) + "\n")
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
         if cfg.TEST.PRECISE_BN.ENABLED:
@@ -364,6 +447,11 @@ class Trainer:
             dataset_list = DatasetCatalog.get(test_name)
         if max_pairs:
             dataset_list = dataset_list[:max_pairs]
+        if jax.process_count() > 1:
+            # distributed eval: each host evaluates a distinct slice; the
+            # evaluator's host_gather merges (reference shards the test
+            # loader per rank and comm.gathers, mp3d_evaluation.py:317-319)
+            dataset_list = dataset_list[jax.process_index()::jax.process_count()]
         mapper = PairMapper(
             is_train=False, dataset_kind=_dataset_kind(test_name),
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,

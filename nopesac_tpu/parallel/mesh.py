@@ -32,9 +32,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     )
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first n devices (default: all)."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, local: bool = False) -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all).
+
+    local=True builds the mesh from this process's addressable devices only
+    (the per-host eval case: each host runs an independent unsharded program
+    over its own dataset shard, then host_gather merges). A cross-process
+    mesh would make jit fail on every host whose devices it omits.
+    """
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
@@ -50,10 +56,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: the array IS the global batch — plain device_put.
+    Multi-process: each host passes only its LOCAL slice (global_batch /
+    process_count rows, produced by its sharded PairLoader) and the global
+    array is assembled from the per-process slices — the TPU-native
+    equivalent of DDP's per-rank batches.
+    """
     sh = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
