@@ -33,10 +33,12 @@ def main(args):
     if forced:
         jax.config.update("jax_platforms", forced)
 
+    from nopesac_tpu.utils.jax_cache import cpu_cache_dir, tpu_cache_dir
+
+    _here = os.path.dirname(os.path.abspath(__file__))
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache_cpu" if forced == "cpu" else ".jax_cache"))
+        cpu_cache_dir(_here) if forced == "cpu" else tpu_cache_dir(_here))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import nopesac_tpu.data.datasets  # noqa: F401

@@ -20,7 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the first full-suite run pays the (single
 # core) XLA compile cost; reruns start in seconds
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 sys.path.insert(0, _REPO)
+from nopesac_tpu.utils.jax_cache import cpu_cache_dir  # noqa: E402
+
+# per-machine subdir: stale AOT executables from a different build host can
+# SIGILL (see utils/jax_cache.py)
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(_REPO))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

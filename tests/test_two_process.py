@@ -1,0 +1,52 @@
+"""Two-process jax.distributed test: host_gather + the sharded train step
+across a real process boundary (2 procs x 2 virtual CPU devices).
+
+The only multi-host behaviours the 8-virtual-device single-process suite
+cannot exercise are cross-process collectives and the per-host batch
+assembly; this launches tests/two_process_worker.py twice under a real
+coordinator and asserts both workers complete and agree.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step_and_host_gather(tmp_path):
+    port = _free_port()
+    outs = [tmp_path / f"out{i}.json" for i in range(2)]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "two_process_worker.py"),
+             str(i), str(port), str(outs[i])],
+            env=env, cwd=os.path.dirname(HERE),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"worker {i} rc={p.returncode}:\n{logs[i][-4000:]}")
+    results = [json.load(open(o)) for o in outs]
+    assert all(r["ok"] for r in results)
+    assert results[0]["total_loss"] == results[1]["total_loss"]
+    assert results[0]["step"] == 1

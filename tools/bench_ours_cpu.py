@@ -18,7 +18,9 @@ sys.path.insert(0, _REPO)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_cpu"))
+from nopesac_tpu.utils.jax_cache import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(_REPO))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

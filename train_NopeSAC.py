@@ -86,10 +86,12 @@ def main(args):
 
     # persistent compilation cache: the first run pays the XLA compile cost,
     # later runs (and resume) start in seconds
+    from nopesac_tpu.utils.jax_cache import cpu_cache_dir, tpu_cache_dir
+
+    _here = os.path.dirname(os.path.abspath(__file__))
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache_cpu" if forced == "cpu" else ".jax_cache"))
+        cpu_cache_dir(_here) if forced == "cpu" else tpu_cache_dir(_here))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.num_machines > 1:
