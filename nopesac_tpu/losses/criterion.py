@@ -77,7 +77,8 @@ def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
     """
     gh, gw = gt_masks.shape[-2:]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ..utils.backend import on_tpu
+        use_pallas = on_tpu()
     if use_pallas:
         from ..ops.mask_loss_pallas import fused_focal_dice
 

@@ -77,7 +77,9 @@ def _scan_unroll() -> int:
     v = os.environ.get("NOPESAC_SCAN_UNROLL")
     if v:
         return int(v)
-    return 6 if jax.default_backend() == "tpu" else 1
+    from ..utils.backend import on_tpu
+
+    return 6 if on_tpu() else 1
 
 
 class EncoderLayer(nn.Module):

@@ -290,7 +290,8 @@ def fused_select_maps(mask_prob, score, valid, thr: float,
     """
     mask_prob = mask_prob.astype(jnp.bfloat16).astype(jnp.float32)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ..utils.backend import on_tpu
+        use_pallas = on_tpu()
     if use_pallas:
         return _fused_select_maps_pallas(mask_prob, score, valid, thr,
                                          out_h, out_w, interpret=interpret)
