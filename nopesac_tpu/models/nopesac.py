@@ -96,11 +96,15 @@ class PlaneTRNopeSAC(nn.Module):
             axis_name=self.axis_name,
         )
         if self.embedding_on:
+            # f32 even under bf16 compute: the GNN runs on <=51 tokens (~1%
+            # of model FLOPs) and the iterated Sinkhorn normalisation + the
+            # arccos geometric prior are exactly the ops bf16 rounding breaks
+            # (see plane_head.py's head_dtype note for the measured failure)
             self.matching_head = MatchingHead(
                 offset_multiplier=self.offset_multiplier,
                 normal_multiplier=self.normal_multiplier,
                 sinkhorn_iterations=self.sinkhorn_iterations,
-                dtype=self.dtype,
+                dtype=jnp.float32,
             )
         if self.camera_on:
             self.camera_head = PlaneCameraHead(

