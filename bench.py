@@ -63,10 +63,12 @@ def main():
 
     # persistent compilation cache: the heavy XLA compile (single host core)
     # happens once; subsequent bench runs start in seconds
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".jax_cache_cpu" if FELL_BACK_TO_CPU else ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    from nopesac_tpu.utils.jax_cache import cpu_cache_dir, tpu_cache_dir
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    jax.config.update("jax_compilation_cache_dir",
+                      cpu_cache_dir(_here) if FELL_BACK_TO_CPU
+                      else tpu_cache_dir(_here))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -152,7 +154,13 @@ def main():
 
     # the full train-step bench needs a ~20-min cold XLA compile on the
     # 1-core host - skip it on CPU fallback, keep the host-side loader bench
-    train_stats = {} if FELL_BACK_TO_CPU else bench_train_step()
+    train_stats = {}
+    if not FELL_BACK_TO_CPU:
+        # bf16 compute (f32 master weights) is the production train path:
+        # the v5e MXU bf16 peak is 4x the f32 rate (PERF.md roofline)
+        train_stats.update(bench_train_step(
+            batch_size=16, compute_dtype="bfloat16", key_prefix="train_bf16_"))
+        train_stats.update(bench_train_step())
     train_stats.update(bench_loader())
 
     out = {
@@ -179,14 +187,22 @@ def main():
         except (ValueError, OSError):
             pass
     out.update(train_stats)
+    # host cores needed to feed eval at the measured device rate (the 1-core
+    # box ceiling is documented in bench_loader's docstring)
+    per_core = train_stats.get("loader_pairs_per_sec_per_core")
+    if per_core:
+        out["loader_cores_needed_for_device_rate"] = round(
+            pairs_per_sec / per_core, 1)
     print(json.dumps(out))
 
 
-def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
+def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
+                     compute_dtype: str = None, key_prefix: str = "train_"):
     """Train-step throughput at the real training shapes (full loss zoo:
     detection + matching + 5-branch camera refine), plus an MFU estimate
     from XLA's own cost analysis. Returns a dict of extras for the bench
-    JSON line."""
+    JSON line. compute_dtype="bfloat16" benches the bf16-compute /
+    f32-master-weights path (MODEL.COMPUTE_DTYPE)."""
     import jax
     import jax.numpy as jnp
 
@@ -214,6 +230,8 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
     cfg.MODEL.CAMERA_HEAD.RAND_ON = True
     cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
     cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+    if compute_dtype:
+        cfg.MODEL.COMPUTE_DTYPE = compute_dtype
 
     model = build_model_from_cfg(cfg)
     data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)
@@ -269,25 +287,32 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640):
     mfu = None
     if flops:
         mfu = flops / (dt / iters) / TPU_V5E_PEAK_BF16_FLOPS
-    print(f"[bench] train {step_ms:.1f} ms/step, {train_pairs:.1f} pairs/s, "
+    print(f"[bench] {key_prefix}{'' if compute_dtype is None else compute_dtype}"
+          f" {step_ms:.1f} ms/step, {train_pairs:.1f} pairs/s, "
           f"flops/step={flops}, mfu={mfu}", file=sys.stderr, flush=True)
     return {
-        "train_step_ms": round(step_ms, 2),
-        "train_pairs_per_sec": round(train_pairs, 2),
-        "train_batch": batch_size,
-        "train_flops_per_step": flops,
-        # vs the v5e bf16 MXU peak; the train step runs f32 master weights,
-        # so this is a conservative lower bound
-        "train_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
-        "train_compile_warmup_s": round(train_compile_s, 1),
+        f"{key_prefix}step_ms": round(step_ms, 2),
+        f"{key_prefix}pairs_per_sec": round(train_pairs, 2),
+        f"{key_prefix}batch": batch_size,
+        f"{key_prefix}flops_per_step": flops,
+        # vs the v5e bf16 MXU peak; master weights stay f32 either way, so
+        # the f32-compute variant's number is a conservative lower bound
+        f"{key_prefix}mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+        f"{key_prefix}compile_warmup_s": round(train_compile_s, 1),
     }
 
 
 def bench_loader(h: int = 480, w: int = 640, seconds: float = 5.0):
     """Host input-pipeline throughput: PairMapper pairs/s on synthetic
-    480x640 data (RLE decode + mask rasterisation + target build). The
-    device rate needs ~1x this per feeding thread; DATALOADER.NUM_WORKERS
-    forks a mapper pool on multi-core hosts (this box has one core)."""
+    480x640 data (RLE decode + mask rasterisation + target build), single
+    core and through the DATALOADER.NUM_WORKERS fork pool.
+
+    Scaling ceiling: feeding eval at the device rate (~368 pairs/s/chip)
+    needs rate_per_core x cores >= device rate; on a 1-core host the pooled
+    number CANNOT beat the per-core one (workers timeslice the same core) —
+    the artifact records host cores so the reader can project a real
+    multi-core deployment."""
+    from nopesac_tpu.data.loader import PairLoader
     from nopesac_tpu.data.mapper import PairMapper
     from nopesac_tpu.data.synthetic import make_dataset
 
@@ -299,9 +324,29 @@ def bench_loader(h: int = 480, w: int = 640, seconds: float = 5.0):
         mapper(data[n % len(data)])
         n += 1
     rate = n / (time.perf_counter() - t0)
-    print(f"[bench] loader: {rate:.1f} pairs/s/core (480x640 map)",
-          file=sys.stderr, flush=True)
-    return {"loader_pairs_per_sec_per_core": round(rate, 2)}
+
+    # pooled rate at NUM_WORKERS=4 through the real PairLoader fork pool
+    workers = 4
+    loader = PairLoader(data, mapper, batch_size=8, shuffle=False,
+                        drop_last=False, infinite=True, num_workers=workers)
+    it = iter(loader)
+    next(it)  # warm the pool (fork + first dispatch)
+    n_b, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        next(it)
+        n_b += 1
+    pooled = n_b * 8 / (time.perf_counter() - t0)
+    loader.close() if hasattr(loader, "close") else None
+    cores = os.cpu_count() or 1
+    print(f"[bench] loader: {rate:.1f} pairs/s/core, pooled({workers}w) "
+          f"{pooled:.1f} pairs/s on {cores} core(s)", file=sys.stderr,
+          flush=True)
+    return {
+        "loader_pairs_per_sec_per_core": round(rate, 2),
+        "loader_pooled_pairs_per_sec": round(pooled, 2),
+        "loader_pool_workers": workers,
+        "loader_host_cores": cores,
+    }
 
 
 if __name__ == "__main__":
