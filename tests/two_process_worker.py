@@ -28,10 +28,17 @@ def main() -> None:
                      if "xla_force_host_platform_device_count" not in f)
     # 2 virtual devices per process -> 4 global; generous collective
     # timeouts: 4 virtual devices + 2 processes timeslice ONE physical core
+    # concurrency_optimized_scheduler=false: the concurrency-optimized HLO
+    # scheduler orders independent collectives nondeterministically across
+    # compiles, so two processes each compiling the same train-step HLO can
+    # disagree on collective ORDER and gloo aborts with "op.preamble.length
+    # <= op.nbytes ... Received data size doesn't match expected size". The
+    # default scheduler is deterministic -> both ranks emit the same order.
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=2"
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
     os.environ["NOPESAC_SCAN_UNROLL"] = "1"
 
     import jax
@@ -110,13 +117,34 @@ def main() -> None:
     assert gbatch["image0"].shape[0] == global_bs  # local slices -> global
     rng = jax.device_put(jax.random.PRNGKey(7), replicated(mesh))
 
-    # compile FIRST, then barrier, then execute: Gloo context init for a new
-    # device clique has a hard 30s KV-store timeout, but the two workers
-    # timeslice ONE physical core, so their train-step compiles can finish
-    # minutes apart (persistent-cache hit vs miss). AOT-compiling on each
-    # side and re-synchronising through the already-established gather
-    # clique bounds the skew entering the first 4-device collective.
-    compiled = step.lower(state, gbatch, rng).compile()
+    # Both ranks compile the same HLO with the deterministic scheduler (see
+    # the XLA_FLAGS note above) so the collective order matches. Rank 1
+    # additionally waits at a coordination-service barrier while rank 0
+    # compiles (pure RPC, no device collective, long timeout — the two
+    # workers timeslice ONE physical core, so compiles can finish minutes
+    # apart), which keeps the skew entering the first 4-device gloo clique
+    # init (hard 30s KV-store timeout) bounded by one compile, not two.
+    # Executable SHIPPING (jax.experimental.serialize_executable) does not
+    # work here: XLA:CPU deserialization fails with "Function <...>_fusion
+    # not found", and the persistent cache can't dedupe either (its key is
+    # process-dependent: rank 0 was observed loading 4 AOT entries while
+    # rank 1 loaded none for identical code).
+    lowered = step.lower(state, gbatch, rng)
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        barrier = lambda name: client.wait_at_barrier(name, 1200 * 1000)
+    except Exception:
+        barrier = lambda name: all_gather_objects(name)  # best effort
+    if pid == 0:
+        compiled = lowered.compile()
+        barrier("train_step_compiled_rank0")
+    else:
+        barrier("train_step_compiled_rank0")
+        compiled = lowered.compile()
+    # re-synchronise so neither rank enters the first 4-device collective
+    # while the other is still compiling
     assert all_gather_objects("compiled") == ["compiled"] * 2
     state, metrics = compiled(state, gbatch, rng)
     total = float(metrics["total_loss"])
