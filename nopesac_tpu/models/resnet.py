@@ -185,10 +185,19 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # TRAIN-mode convs stay f32 even under bf16 compute. Measured on the
+        # synthetic overfit (800 steps, bs=8): with a bf16 backbone the DETR
+        # plane head never escapes the uniform-logits saddle (CE frozen at
+        # ln 2, dice 0.73) even after the whole transformer stack, FPN and
+        # mask einsum were already forced f32 — the Hungarian-assignment
+        # dynamics need the backbone features (and their gradients) resolved
+        # below bf16's 2^-8 relative rounding. Inference keeps the bf16 MXU
+        # rate (367 pairs/s/chip, full-pipeline parity validated).
+        dt = jnp.float32 if train else self.dtype
         # stem: 7x7/2 conv (space-to-depth form) + frozen BN + relu + maxpool
-        x = _StemConv(self.stem_out_channels, dtype=self.dtype,
+        x = _StemConv(self.stem_out_channels, dtype=dt,
                       s2d=self.stem_s2d, name="stem_conv1")(x)
-        x = FrozenBatchNorm(self.stem_out_channels, dtype=self.dtype, name="stem_bn1")(x)
+        x = FrozenBatchNorm(self.stem_out_channels, dtype=dt, name="stem_bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -204,7 +213,7 @@ class ResNet(nn.Module):
                     bottleneck_channels=bottleneck,
                     stride=stride,
                     has_shortcut=(block_idx == 0),
-                    dtype=self.dtype,
+                    dtype=dt,
                     fuse_tail=self.fuse_tail,
                     name=f"{name}_{block_idx}",
                 )(x, train=train)
