@@ -77,8 +77,8 @@ def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
     """
     gh, gw = gt_masks.shape[-2:]
     if use_pallas is None:
-        from ..utils.backend import on_tpu
-        use_pallas = on_tpu()
+        from ..utils.backend import pallas_ok
+        use_pallas = pallas_ok()
     if use_pallas:
         from ..ops.mask_loss_pallas import fused_focal_dice
 

@@ -116,8 +116,8 @@ class MatchingHead(nn.Module):
         bin_score = self.param("bin_score", nn.initializers.ones, (), jnp.float32)
         use_pallas = self.use_pallas_sinkhorn
         if use_pallas is None:
-            from ..utils.backend import on_tpu
-            use_pallas = on_tpu()
+            from ..utils.backend import pallas_ok
+            use_pallas = pallas_ok()
         if training:
             # Pallas kernels carry no VJP; the train loss differentiates
             # through the (scan-lowered, AD-capable) lax implementation.

@@ -122,10 +122,10 @@ class Bottleneck(nn.Module):
                          name="conv3")()
         m3, a3 = _BNParams(self.out_channels, name="bn3")()
 
-        from ..utils.backend import on_tpu
+        from ..utils.backend import pallas_ok
 
         fused = (self.fuse_tail and not train and not self.has_shortcut
-                 and on_tpu())
+                 and pallas_ok())
 
         if fused:
             from ..ops.bottleneck_pallas import conv1x1_bn_add_relu

@@ -77,8 +77,13 @@ def _scan_unroll() -> int:
     v = os.environ.get("NOPESAC_SCAN_UNROLL")
     if v:
         return int(v)
-    from ..utils.backend import on_tpu
+    from ..utils.backend import on_axon_tunnel, on_tpu
 
+    if on_axon_tunnel():
+        # unroll>1 + Mosaic custom calls makes the tunnel's remote compile
+        # never return (bisected: either alone compiles in ~157s, the
+        # combination exceeds 540s) - cap to 1 there, keep 6 on direct TPU
+        return 1
     return 6 if on_tpu() else 1
 
 

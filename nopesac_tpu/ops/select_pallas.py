@@ -290,8 +290,8 @@ def fused_select_maps(mask_prob, score, valid, thr: float,
     """
     mask_prob = mask_prob.astype(jnp.bfloat16).astype(jnp.float32)
     if use_pallas is None:
-        from ..utils.backend import on_tpu
-        use_pallas = on_tpu()
+        from ..utils.backend import pallas_ok
+        use_pallas = pallas_ok()
     if use_pallas:
         return _fused_select_maps_pallas(mask_prob, score, valid, thr,
                                          out_h, out_w, interpret=interpret)

@@ -24,3 +24,34 @@ def on_tpu() -> bool:
         except Exception:
             return False
     return False
+
+
+def on_axon_tunnel() -> bool:
+    """True when TPU access goes through the axon remote-execution tunnel.
+
+    The tunnel remote-compiles every program server-side; very large HLO
+    graphs (e.g. the 6x-unrolled layer scans COMBINED with Mosaic custom
+    calls) have been observed to never finish compiling there (>540 s vs
+    157 s for either alone), so unroll policies cap themselves under it.
+    """
+    import os
+
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") or \
+            os.environ.get("AXON_LOOPBACK_RELAY"):
+        return True
+    return os.environ.get("JAX_PLATFORMS", "") == "axon"
+
+
+def pallas_ok() -> bool:
+    """True when Pallas (Mosaic) kernels should be used.
+
+    Same as :func:`on_tpu`, with an emergency override: NOPESAC_PALLAS=0
+    forces every Pallas gate to the portable XLA path (e.g. when a remote-
+    compile tunnel mis-executes a kernel), NOPESAC_PALLAS=1 forces it on.
+    """
+    import os
+
+    v = os.environ.get("NOPESAC_PALLAS")
+    if v is not None and v != "":
+        return v not in ("0", "false", "off")
+    return on_tpu()

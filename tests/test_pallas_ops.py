@@ -178,3 +178,28 @@ class TestFusedMaskLoss:
         scale = np.abs(g_ref).max() + 1e-6
         np.testing.assert_allclose(g_got / scale, g_ref / scale,
                                    rtol=3e-2, atol=3e-2)
+
+
+class TestBackendGates:
+    """NOPESAC_PALLAS kill switch + axon-tunnel detection (utils/backend.py)."""
+
+    def test_pallas_env_override(self, monkeypatch):
+        from nopesac_tpu.utils import backend
+
+        monkeypatch.setenv("NOPESAC_PALLAS", "0")
+        assert backend.pallas_ok() is False
+        monkeypatch.setenv("NOPESAC_PALLAS", "1")
+        assert backend.pallas_ok() is True
+        monkeypatch.delenv("NOPESAC_PALLAS")
+        assert backend.pallas_ok() == backend.on_tpu()
+
+    def test_scan_unroll_capped_on_tunnel(self, monkeypatch):
+        # unroll>1 + Mosaic custom calls never finishes remote compile on
+        # the axon tunnel (bisected on hardware); the policy caps to 1 there
+        from nopesac_tpu.models.transformer import _scan_unroll
+
+        monkeypatch.delenv("NOPESAC_SCAN_UNROLL", raising=False)
+        monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+        assert _scan_unroll() == 1
+        monkeypatch.setenv("NOPESAC_SCAN_UNROLL", "4")
+        assert _scan_unroll() == 4
