@@ -547,7 +547,11 @@ def main(args):
     elif args.evaluate == "matching":
         ev.evaluate_matching_precision_recall()
     else:
-        raise ValueError(args.evaluate)
+        # the reference silently no-ops for any other mode, including its
+        # own default --evaluate correspondence (eval.py's if/elif chain has
+        # no else); exiting 0 here keeps the CLI's default invocation parity
+        print(f"--evaluate {args.evaluate}: nothing to do "
+              "(supported: AP / camera / matching)")
     return 0
 
 

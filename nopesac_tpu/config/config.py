@@ -157,7 +157,15 @@ def get_cfg() -> CfgNode:
     c.VERSION = 2
     c.OUTPUT_DIR = "./output"
     c.SEED = 42
+    # TensorBoard-compatible scalar events (utils/tb_writer.py). The
+    # reference's d2 trainer always emits tfevents (SURVEY.md section 5);
+    # metrics.json stays the canonical artifact either way.
+    c.TENSORBOARD_ON = True
     c.FIX_SEED = True
+    # DEBUG_ON is parity-inert by design: the reference stores it on its
+    # evaluator (mp3d_evaluation.py:62) and never reads it again.
+    # DEBUG_CAMERA_ON prints a per-iteration marker during inference
+    # (siamese_planeTR.py:343-344) — wired in engine/trainer.test().
     c.DEBUG_ON = False
     c.DEBUG_CAMERA_ON = False
 
@@ -169,6 +177,10 @@ def get_cfg() -> CfgNode:
     # "bfloat16" (4x MXU matmul rate on TPU; master weights/optimizer state
     # stay f32 either way - flax modules cast activations only)
     c.MODEL.COMPUTE_DTYPE = "float32"
+    # train-mode backbone rematerialisation (activation checkpointing):
+    # trades ~+11% train FLOPs for the HBM needed to fit IMS_PER_BATCH=16
+    # (the reference's training batch) on a single v5e chip
+    c.MODEL.REMAT = True
     c.MODEL.WEIGHTS = ""
     c.MODEL.PIXEL_MEAN = [123.675, 116.280, 103.530]
     c.MODEL.PIXEL_STD = [58.395, 57.120, 57.375]

@@ -65,6 +65,16 @@ def load_orbax_tree(path: str) -> dict:
     return ocp.PyTreeCheckpointer().restore(path)
 
 
+def _leaf_paths(tree: Any, pfx: str = "") -> list:
+    """Dotted paths of every leaf under a nested-dict tree."""
+    if not isinstance(tree, dict):
+        return [pfx[:-1]]
+    out = []
+    for k, v in tree.items():
+        out.extend(_leaf_paths(v, f"{pfx}{k}."))
+    return out
+
+
 def merge_pytree(template: Any, loaded: Any, prefix: str = ""):
     """Overlay `loaded` onto `template` by matching dict paths + leaf shapes.
 
@@ -91,12 +101,24 @@ def merge_pytree(template: Any, loaded: Any, prefix: str = ""):
                     unexpected.append(f"{pfx}{k}")
             return out
         # leaf
-        if ld is None or isinstance(ld, dict):
+        if ld is None:
             missing.append(pfx[:-1])
+            return tpl
+        if isinstance(ld, dict):
+            # template leaf vs checkpoint subtree: the whole checkpoint
+            # subtree is dropped — report every discarded leaf so a
+            # structurally-drifted curriculum checkpoint never loses
+            # trained weights silently
+            missing.append(pfx[:-1])
+            for sub in _leaf_paths(ld, pfx):
+                unexpected.append(sub)
             return tpl
         tpl_arr, ld_arr = np.asarray(tpl), np.asarray(ld)
         if tpl_arr.shape != ld_arr.shape:
+            # shape mismatch: template keeps fresh init (missing) AND the
+            # checkpoint value is discarded (unexpected) — docstring contract
             missing.append(f"{pfx[:-1]} (shape {ld_arr.shape} != {tpl_arr.shape})")
+            unexpected.append(f"{pfx[:-1]} (shape {ld_arr.shape} != {tpl_arr.shape})")
             return tpl
         return ld_arr.astype(tpl_arr.dtype)
 

@@ -25,7 +25,7 @@ from ..data.loader import PairLoader
 from ..data.mapper import PairMapper
 from ..data.registry import DatasetCatalog
 from ..models.nopesac import PlaneTRNopeSAC
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch, staggered_compile
 from .checkpoint import Checkpointer
 from .optimizer import apply_freeze, build_optimizer
 from .train_step import create_train_state, jit_train_step, make_eval_step, make_train_step
@@ -114,6 +114,7 @@ def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
         matching_score_threshold=cfg.TEST.MATCHING_SCORE_THRESHOLD,
         inference_out_cam_type=cam.INFERENCE_OUT_CAM_TYPE,
         transformer_dropout=h.get("DROPOUT", 0.1),
+        remat_backbone=cfg.MODEL.get("REMAT", True),
         loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
         loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
         loss_matching_on=cfg.MODEL.LOSS_EMB_ON,
@@ -333,7 +334,22 @@ class Trainer:
 
     def resume_or_load(self, resume: bool = False):
         if resume:
-            if self.checkpointer.latest() is None:
+            latest = self.checkpointer.latest()
+            if jax.process_count() > 1:
+                # every host must see the SAME checkpoint (host 0 alone
+                # writes; a non-shared OUTPUT_DIR or a racing restart would
+                # otherwise resume host 0 at step N while others start at 0
+                # — divergent replicated state + mismatched loop bounds that
+                # deadlock with no diagnostic). Fail loudly instead.
+                from ..parallel.host_gather import all_gather_objects
+
+                tags = all_gather_objects(latest)
+                if len(set(tags)) != 1:
+                    raise RuntimeError(
+                        "--resume: hosts disagree on the latest checkpoint "
+                        f"(per-process: {tags}). OUTPUT_DIR must be a shared "
+                        "filesystem visible to every host.")
+            if latest is None:
                 logger.info("--resume: no checkpoint found, starting fresh")
                 return
             restored = self.checkpointer.restore(jax.device_get(self.state))
@@ -352,6 +368,11 @@ class Trainer:
         # hosts silently compute divergent gradients.)
         rng = jax.random.PRNGKey(cfg.SEED)
         metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+        tb = None
+        if cfg.get("TENSORBOARD_ON", True) and jax.process_index() == 0:
+            from ..utils.tb_writer import TBScalarWriter
+
+            tb = TBScalarWriter(cfg.OUTPUT_DIR)
         start = int(self.state.step)
         if start == 0 and jax.process_index() == 0:
             # fresh run: truncate any stale metrics from a previous run in
@@ -366,6 +387,11 @@ class Trainer:
             batch = next(it)
             batch.pop("meta", None)
             batch = shard_batch(batch, self.mesh)
+            if step == start and jax.process_count() > 1:
+                # bound the cross-host compile skew entering the first
+                # global collective (parallel/mesh.staggered_compile)
+                self.train_step = staggered_compile(
+                    self.train_step, self.state, batch, rng)
             self.state, metrics = self.train_step(self.state, batch, rng)
 
             if jax.process_index() == 0 and (step % 20 == 0 or step == max_iter - 1):
@@ -382,6 +408,8 @@ class Trainer:
                 last_log = (step, now)
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(m) + "\n")
+                if tb is not None:
+                    tb.add_scalars(m, step=step)
                 logger.info("iter %d total %.4f", step, m.get("total_loss", -1))
 
             if (step + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
@@ -402,12 +430,18 @@ class Trainer:
                         row = {"iteration": step, "eval": _flatten_metrics(res)}
                         with open(metrics_path, "a") as f:
                             f.write(json.dumps(row) + "\n")
+                        if tb is not None:
+                            tb.add_scalars(
+                                {f"eval/{k}": v
+                                 for k, v in row["eval"].items()}, step=step)
                 except Exception as e:  # eval must not kill training
                     logger.warning("eval failed: %s", e)
         if cfg.TEST.PRECISE_BN.ENABLED:
             self.state = self._precise_bn(self.state)
             self.checkpointer.save(self.state, max_iter)  # overwrite periodic
         self.checkpointer.save(self.state, max_iter, name="model_final")
+        if tb is not None:
+            tb.close()
         return self.state
 
     def _precise_bn(self, state):
@@ -483,6 +517,18 @@ class Trainer:
                 self.model, out_h=h, out_w=w, with_gt_geo=use_gt_matcher))
         eval_step = self._eval_steps[key]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        if jax.process_count() > 1:
+            # Mid-train eval under multi-host DP: self.state is committed to
+            # the GLOBAL cross-process mesh, but eval inputs are host-local
+            # and each host loops over a different-length dataset slice —
+            # mixing them in one jit raises incompatible-devices (and a
+            # global program with per-host iteration counts would deadlock).
+            # Re-home the replicated state onto a process-local 1-device
+            # mesh so each host runs an independent local program; only
+            # evaluator.evaluate()'s host_gather crosses processes (same
+            # design as the eval-only constructor path above).
+            local_repl = NamedSharding(make_mesh(1, local=True), P())
+            variables = jax.device_put(jax.device_get(variables), local_repl)
 
         bs = int(cfg.TEST.IMS_PER_BATCH)
         # one-step software pipeline: jax dispatch is async, so enqueueing
@@ -497,8 +543,17 @@ class Trainer:
             results = postprocess_batch(out, pmetas, height=h, width=w)
             evaluator.process(pchunk, results)
 
+        # cfg.DEBUG_CAMERA_ON: per-iteration progress marker, matching the
+        # reference's print in inference (siamese_planeTR.py:343-344).
+        # cfg.DEBUG_ON is parity-inert: the reference stores it on the
+        # evaluator (mp3d_evaluation.py:62) and never reads it again.
+        debug_camera = bool(cfg.get("DEBUG_CAMERA_ON", False))
+        debug_iter = 0
         for lo in range(0, len(dataset_list), bs):
             chunk = dataset_list[lo: lo + bs]
+            debug_iter += 1
+            if debug_camera:
+                print("**********************> ", debug_iter, flush=True)
             samples = [mapper(d) for d in chunk]
             img0 = jnp.asarray(np.stack([s["image0"] for s in samples]))
             img1 = jnp.asarray(np.stack([s["image1"] for s in samples]))

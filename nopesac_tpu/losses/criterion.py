@@ -77,8 +77,18 @@ def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
     """
     gh, gw = gt_masks.shape[-2:]
     if use_pallas is None:
-        from ..utils.backend import pallas_ok
-        use_pallas = pallas_ok()
+        import os
+
+        # criterion-only ablation override: NOPESAC_PALLAS_MASK_LOSS=0
+        # forces the naive f32 upsample chain while every other Pallas
+        # gate stays on — used for the bf16-upsample precision A/B
+        # (PERF.md "mask-loss precision A/B")
+        v = os.environ.get("NOPESAC_PALLAS_MASK_LOSS")
+        if v is not None and v.strip() != "":
+            use_pallas = v.strip().lower() not in ("0", "false", "off", "no")
+        else:
+            from ..utils.backend import pallas_ok
+            use_pallas = pallas_ok()
     if use_pallas:
         from ..ops.mask_loss_pallas import fused_focal_dice
 

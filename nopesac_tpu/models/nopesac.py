@@ -64,6 +64,9 @@ class PlaneTRNopeSAC(nn.Module):
     transformer_dropout: float = 0.1
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    # train-mode activation rematerialisation for the backbone (MODEL.REMAT);
+    # required to fit the reference's bs=16 (SOLVER.IMS_PER_BATCH) on one v5e
+    remat_backbone: bool = True
 
     # ---- training switches & loss weights (config.py / train yamls) ----
     loss_detection_on: bool = True
@@ -87,7 +90,7 @@ class PlaneTRNopeSAC(nn.Module):
     plane_cam_weight_predplane: float = 0.1
 
     def setup(self):
-        self.backbone = ResNet(dtype=self.dtype)
+        self.backbone = ResNet(dtype=self.dtype, remat=self.remat_backbone)
         self.plane_head = PlaneTRHead(
             num_queries=self.num_queries,
             depth_on=self.depth_on,
@@ -461,6 +464,14 @@ class PlaneTRNopeSAC(nn.Module):
         result = {"view0": sel0, "view1": sel1}
         if self.depth_on:
             pd = out_cat.get("pixel_depth")
+            if pd is not None:
+                # the head emits depth at res2 resolution (H/4); the
+                # reference returns full-resolution depth at inference
+                # (siamese_planeTR.py:427 "# 480, 640") and the evaluator
+                # subtracts it from the full-size GT map
+                pd = jax.image.resize(
+                    pd.astype(jnp.float32),
+                    (pd.shape[0], out_h, out_w, pd.shape[-1]), "bilinear")
             result["depth0"] = pd[:b] if pd is not None else None
             result["depth1"] = pd[b:] if pd is not None else None
         if not self.camera_on:

@@ -182,6 +182,13 @@ class ResNet(nn.Module):
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
     fuse_tail: bool = False
+    # Rematerialise each bottleneck block in train mode: the backbone's
+    # early-stage activations dominate train-step HBM (bs=16 f32 res2
+    # intermediates are 300-600 MB EACH and the 64-channel maps pad 2x on
+    # the (8,128) tile — the exact OOM dump of BENCH_r03). Per-block remat
+    # stores only block boundaries and re-runs each block's forward once in
+    # the backward pass (~+1/3 of backbone forward FLOPs).
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,11 +211,16 @@ class ResNet(nn.Module):
         feats = {}
         channels = 256
         bottleneck = 64
+        # nn.remat is a transparent lifted transform: the param tree keeps
+        # the plain `res{s}_{b}/...` paths, so torch import / checkpoints /
+        # eval-mode graphs are unaffected. argnums: 0=self, 1=x, 2=train.
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if (train and self.remat) else Bottleneck)
         for stage_idx, num_blocks in enumerate(_STAGE_BLOCKS[self.depth]):
             name = f"res{stage_idx + 2}"
             for block_idx in range(num_blocks):
                 stride = 2 if (block_idx == 0 and stage_idx > 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     out_channels=channels,
                     bottleneck_channels=bottleneck,
                     stride=stride,
@@ -216,7 +228,7 @@ class ResNet(nn.Module):
                     dtype=dt,
                     fuse_tail=self.fuse_tail,
                     name=f"{name}_{block_idx}",
-                )(x, train=train)
+                )(x, train)  # positional: remat static_argnums=(2,)
             if name in self.out_features:
                 feats[name] = x
             channels *= 2

@@ -19,17 +19,72 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def _multihost_cpu_determinism_flags() -> None:
+    """Pin the deterministic HLO scheduler for multi-host XLA:CPU runs.
+
+    The concurrency-optimized CPU scheduler orders independent collectives
+    nondeterministically across compiles, so two processes each compiling
+    the same train-step HLO can disagree on collective ORDER and gloo
+    aborts with "Received data size doesn't match expected size" (observed;
+    diagnosed in tests/two_process_worker.py). The default scheduler is
+    deterministic. The flag is CPU-only — harmless on a TPU backend, where
+    the compiler is shared across hosts and schedules deterministically.
+    Must run BEFORE the first backend/compiler initialization.
+    """
+    import os
+
+    tok = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if tok not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + tok).strip()
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize wrapper (no-op for single-process)."""
     if num_processes is None or num_processes <= 1:
         return
+    _multihost_cpu_determinism_flags()
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def staggered_compile(jitted, *args):
+    """Compile `jitted(*args)` on every host, rank 0 first, with barriers.
+
+    Multi-host programs deadlock-prone pattern: host compiles can finish
+    minutes apart (cold persistent caches, shared cores), and the first
+    global collective's clique init has a hard ~30s KV-store timeout — so
+    the skew entering it must be bounded by ONE compile, not N. Rank 0
+    compiles, releases a coordination-service barrier (pure RPC, no device
+    collective, 20-min timeout), then the rest compile, then a final
+    object-gather re-synchronises everyone before the first real step.
+    Single-process: returns `jitted` unchanged.
+    """
+    if jax.process_count() == 1:
+        return jitted
+    from .host_gather import all_gather_objects
+
+    lowered = jitted.lower(*args)
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        barrier = lambda name: client.wait_at_barrier(name, 1200 * 1000)
+    except Exception:  # pragma: no cover - older jax layouts
+        barrier = lambda name: all_gather_objects(name)
+    if jax.process_index() == 0:
+        compiled = lowered.compile()
+        barrier("nopesac_staggered_compile_rank0")
+    else:
+        barrier("nopesac_staggered_compile_rank0")
+        compiled = lowered.compile()
+    all_gather_objects("compiled")
+    return compiled
 
 
 def make_mesh(n_devices: Optional[int] = None, local: bool = False) -> Mesh:

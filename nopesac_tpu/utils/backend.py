@@ -39,7 +39,12 @@ def on_axon_tunnel() -> bool:
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") or \
             os.environ.get("AXON_LOOPBACK_RELAY"):
         return True
-    return os.environ.get("JAX_PLATFORMS", "") == "axon"
+    # JAX_PLATFORMS is a comma-separated priority list; "axon,cpu" or
+    # case variants must still trip the gate (the whole point of this
+    # helper is to avoid the >540s remote-compile hang)
+    platforms = [p.strip().lower()
+                 for p in os.environ.get("JAX_PLATFORMS", "").split(",")]
+    return "axon" in platforms
 
 
 def pallas_ok() -> bool:
@@ -52,6 +57,7 @@ def pallas_ok() -> bool:
     import os
 
     v = os.environ.get("NOPESAC_PALLAS")
-    if v is not None and v != "":
-        return v not in ("0", "false", "off")
+    if v is not None and v.strip() != "":
+        # normalise so 'False', 'OFF', 'no' all disable (operator intent)
+        return v.strip().lower() not in ("0", "false", "off", "no")
     return on_tpu()

@@ -79,6 +79,31 @@ class TestEvalSlice:
         # the soft matching affinity feeds the vis CLI's stitched figure
         assert p.get("pred_aff") is not None
 
+    def test_depth_on_roundtrip(self, tmp_path):
+        """MODEL.DEPTH_ON eval: the head emits depth at res2 resolution;
+        inference must resize it to the full image (siamese_planeTR.py:427
+        emits 480x640) or the evaluator's GT subtraction broadcast-crashes
+        (round-3 verdict weak item 4)."""
+        from nopesac_tpu.engine.trainer import Trainer
+
+        cfg = get_cfg()
+        cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+        cfg.MODEL.EMBEDDING_ON = True
+        cfg.MODEL.CAMERA_ON = True
+        cfg.MODEL.DEPTH_ON = True
+        cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+        cfg.OUTPUT_DIR = str(tmp_path / "depth_out")
+        cfg.freeze()
+        trainer = Trainer(cfg, image_hw=(H, W))
+        data = make_dataset(n_pairs=1, n_planes=4, h=H, w=W, seed=5)
+        results = trainer.test(dataset_list=data)
+        assert "depth_l1_dist" in results
+        assert np.isfinite(results["depth_l1_dist"])
+
     def test_vis_cli_consumes_artifacts(self, trainer, tiny_cfg, tmp_path):
         """vis_NopeSAC renders every artifact family from the freshly
         written .pth/.pkl contract (depends on test_inference_eval_and_

@@ -27,18 +27,14 @@ def main() -> None:
     flags = " ".join(f for f in flags.split()
                      if "xla_force_host_platform_device_count" not in f)
     # 2 virtual devices per process -> 4 global; generous collective
-    # timeouts: 4 virtual devices + 2 processes timeslice ONE physical core
-    # concurrency_optimized_scheduler=false: the concurrency-optimized HLO
-    # scheduler orders independent collectives nondeterministically across
-    # compiles, so two processes each compiling the same train-step HLO can
-    # disagree on collective ORDER and gloo aborts with "op.preamble.length
-    # <= op.nbytes ... Received data size doesn't match expected size". The
-    # default scheduler is deterministic -> both ranks emit the same order.
+    # timeouts: 4 virtual devices + 2 processes timeslice ONE physical core.
+    # The deterministic-scheduler flag is NOT set here: the production
+    # initialize_distributed() must inject it (parallel/mesh.py), and this
+    # worker exists to prove the production path works.
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=2"
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-        " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
     os.environ["NOPESAC_SCAN_UNROLL"] = "1"
 
     import jax
@@ -53,8 +49,11 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(repo))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
+    from nopesac_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+    assert "concurrency_optimized_scheduler=false" in os.environ["XLA_FLAGS"]
     assert jax.process_count() == 2
     assert jax.device_count() == 4, jax.devices()
     assert jax.local_device_count() == 2
@@ -117,35 +116,19 @@ def main() -> None:
     assert gbatch["image0"].shape[0] == global_bs  # local slices -> global
     rng = jax.device_put(jax.random.PRNGKey(7), replicated(mesh))
 
-    # Both ranks compile the same HLO with the deterministic scheduler (see
-    # the XLA_FLAGS note above) so the collective order matches. Rank 1
-    # additionally waits at a coordination-service barrier while rank 0
-    # compiles (pure RPC, no device collective, long timeout — the two
-    # workers timeslice ONE physical core, so compiles can finish minutes
-    # apart), which keeps the skew entering the first 4-device gloo clique
-    # init (hard 30s KV-store timeout) bounded by one compile, not two.
+    # Both ranks compile the same HLO with the deterministic scheduler
+    # (injected by initialize_distributed) so the collective order matches;
+    # staggered_compile bounds the cross-rank compile skew entering the
+    # first 4-device gloo clique init — both mitigations now live in the
+    # PRODUCTION parallel/mesh.py (this worker proves that path).
     # Executable SHIPPING (jax.experimental.serialize_executable) does not
     # work here: XLA:CPU deserialization fails with "Function <...>_fusion
     # not found", and the persistent cache can't dedupe either (its key is
     # process-dependent: rank 0 was observed loading 4 AOT entries while
     # rank 1 loaded none for identical code).
-    lowered = step.lower(state, gbatch, rng)
-    try:
-        from jax._src import distributed
+    from nopesac_tpu.parallel.mesh import staggered_compile
 
-        client = distributed.global_state.client
-        barrier = lambda name: client.wait_at_barrier(name, 1200 * 1000)
-    except Exception:
-        barrier = lambda name: all_gather_objects(name)  # best effort
-    if pid == 0:
-        compiled = lowered.compile()
-        barrier("train_step_compiled_rank0")
-    else:
-        barrier("train_step_compiled_rank0")
-        compiled = lowered.compile()
-    # re-synchronise so neither rank enters the first 4-device collective
-    # while the other is still compiling
-    assert all_gather_objects("compiled") == ["compiled"] * 2
+    compiled = staggered_compile(step, state, gbatch, rng)
     state, metrics = compiled(state, gbatch, rng)
     total = float(metrics["total_loss"])
     assert np.isfinite(total), total
