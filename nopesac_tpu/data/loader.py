@@ -36,6 +36,10 @@ def _map_item(args):
     return _WORKER_MAPPER(pair, aug_seed=seed)
 
 
+class _LoaderClosed(Exception):
+    """Producer-side signal: the loader was close()d mid-epoch."""
+
+
 class PairLoader:
     def __init__(
         self,
@@ -61,6 +65,7 @@ class PairLoader:
         self.infinite = infinite
         self.num_workers = num_workers
         self._pool = None
+        self._closing = False  # close() racing a live producer thread
         self._item_counter = 0  # monotone per-sample augmentation seed base
         if num_workers > 0:
             import multiprocessing as mp
@@ -80,8 +85,17 @@ class PairLoader:
         seeds = [self.seed * 1_000_003 + self._item_counter + k
                  for k in range(len(items))]
         self._item_counter += len(items)
-        if self._pool is not None:
-            return self._pool.map(_map_item, list(zip(items, seeds)))
+        pool = self._pool
+        if pool is not None:
+            try:
+                return pool.map(_map_item, list(zip(items, seeds)))
+            except ValueError:
+                # close() terminated the pool under a producer thread
+                # mid-epoch ("Pool not running"); surface as a clean stop
+                # instead of an unraisable thread exception
+                if self._closing or self._pool is None:
+                    raise _LoaderClosed()
+                raise
         return [self.mapper(d, aug_seed=s) for d, s in zip(items, seeds)]
 
     def __len__(self):
@@ -107,7 +121,10 @@ class PairLoader:
                 chunk = idx[lo: lo + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
-                batch = collate(self._map_chunk(chunk))
+                try:
+                    batch = collate(self._map_chunk(chunk))
+                except _LoaderClosed:
+                    return
                 # bounded put that honours stop: a consumer that abandons
                 # the iterator (e.g. train() breaking at max_iter) would
                 # otherwise leave this thread blocked in q.put forever,
@@ -143,6 +160,7 @@ class PairLoader:
             stop.set()
 
     def close(self):
+        self._closing = True
         if self._pool is not None:
             self._pool.terminate()
             self._pool = None

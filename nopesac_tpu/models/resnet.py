@@ -182,13 +182,18 @@ class ResNet(nn.Module):
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
     fuse_tail: bool = False
-    # Rematerialise each bottleneck block in train mode: the backbone's
+    # Rematerialise bottleneck blocks in train mode: the backbone's
     # early-stage activations dominate train-step HBM (bs=16 f32 res2
     # intermediates are 300-600 MB EACH and the 64-channel maps pad 2x on
     # the (8,128) tile — the exact OOM dump of BENCH_r03). Per-block remat
     # stores only block boundaries and re-runs each block's forward once in
-    # the backward pass (~+1/3 of backbone forward FLOPs).
+    # the backward pass. remat_stages can limit the recompute to a subset,
+    # but measured bs=16 on a v5e chip the FULL set wins on wall clock too:
+    # res2+res3-only remat saves ~4% step FLOPs yet runs ~2% SLOWER
+    # (344.2 vs 338.9 ms/step bf16, 351.5 vs 344.8 f32) — the scheduler
+    # spends the freed HBM on fewer spills/copies than the recompute costs.
     remat: bool = True
+    remat_stages: Sequence[str] = ("res2", "res3", "res4", "res5")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -214,10 +219,12 @@ class ResNet(nn.Module):
         # nn.remat is a transparent lifted transform: the param tree keeps
         # the plain `res{s}_{b}/...` paths, so torch import / checkpoints /
         # eval-mode graphs are unaffected. argnums: 0=self, 1=x, 2=train.
-        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
-                     if (train and self.remat) else Bottleneck)
+        remat_block = nn.remat(Bottleneck, static_argnums=(2,))
         for stage_idx, num_blocks in enumerate(_STAGE_BLOCKS[self.depth]):
             name = f"res{stage_idx + 2}"
+            block_cls = (remat_block
+                         if (train and self.remat and name in self.remat_stages)
+                         else Bottleneck)
             for block_idx in range(num_blocks):
                 stride = 2 if (block_idx == 0 and stage_idx > 0) else 1
                 x = block_cls(

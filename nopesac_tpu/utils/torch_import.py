@@ -195,8 +195,31 @@ def _import_conv_bn(state, tkey, fkey, put, put_bs):
     put_bs(f"{fkey}/BatchNorm_0/var", state.get(f"{tkey}.1.running_var"))
 
 
+class _TrackedState(dict):
+    """Checkpoint state dict that records which source keys were read.
+
+    Every mapping rule in this module reads through `state[k]` / `state.get`,
+    so the consumed set is exactly the reference tensors a rule touched —
+    the complement (unconsumed) is what a released-checkpoint-shaped file
+    would silently drop. Used by `import_torch_weights(return_report=True)`.
+    """
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.consumed.add(k)
+        return super().get(k, default)
+
+
 def import_torch_weights(params, path: str, strict: bool = False,
-                         batch_stats=None):
+                         batch_stats=None, return_report: bool = False):
     """Import a reference checkpoint into the flax params tree.
 
     Covers: d2 ResNet-50 backbone (exact), PlaneTR head (input proj,
@@ -220,7 +243,7 @@ def import_torch_weights(params, path: str, strict: bool = False,
 
     from ..engine.checkpoint import load_torch_checkpoint
 
-    state = migrate_legacy_keys(load_torch_checkpoint(path))
+    state = _TrackedState(migrate_legacy_keys(load_torch_checkpoint(path)))
     tree = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
     tree = copy.deepcopy(tree)
     bstats = None
@@ -398,6 +421,12 @@ def import_torch_weights(params, path: str, strict: bool = False,
         "imported %d tensors (of %d in checkpoint) from %s",
         n_loaded, len(state), path,
     )
-    if bstats is not None:
-        return tree, bstats
-    return tree
+    out = (tree, bstats) if bstats is not None else tree
+    if return_report:
+        report = {
+            "n_loaded": n_loaded,
+            "n_checkpoint": len(state),
+            "unconsumed": sorted(set(state) - state.consumed),
+        }
+        return (*out, report) if isinstance(out, tuple) else (out, report)
+    return out

@@ -1,0 +1,169 @@
+"""Released-checkpoint-shaped import: the reference's FULL meta-architecture
+state dict through the production MODEL.WEIGHTS loading path.
+
+The released MP3D/ScanNet checkpoints (`models/mp3d_NopeSAC.pth`, reference
+README.md:70-94) are not on this host. This builds the next best thing: the
+complete reference `PlaneTR_NopeSAC` torch module (backbone + planeTR head +
+matching head + camera head + criterion — the exact module tree the released
+file was saved from, siamese_planeTR.py:34-135), saves its full `state_dict`
+in the detectron2 checkpoint layout `{"model": ..., "iteration": ...}`, and
+drives it through `Trainer._load_weights` -> `utils/torch_import.py` into the
+flax model, then runs full inference with the imported weights.
+
+NOTE: must run at the reference's real 480x640 — the PixelCameraHead's
+correlation volume flattens h/32*w/32 = 300 softmax bins into conv input
+channels (camera_head.py:1117-1133), so the released checkpoint's shapes
+only exist at that resolution. This makes the module-scoped Trainer below
+the slowest fixture in the suite (one 480x640 train+inference XLA compile,
+persistently cached).
+
+Assertions:
+  * every reference tensor is consumed by an import rule, except a fixed
+    allowlist of known non-parameters (criterion.empty_weight — a loss
+    constant rebuilt from cfg, criterion.py:71-73);
+  * imported leaves equal the torch tensors bit-for-bit (layout transposes
+    applied), including perturbed BN running stats;
+  * full inference through the production Trainer produces finite metrics.
+"""
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+import refstubs  # noqa: F401  (installs d2 shims + puts /root/reference on sys.path)
+
+from nopesac_tpu.config.config import get_cfg
+from nopesac_tpu.data.synthetic import make_dataset
+
+H, W = 480, 640
+
+
+def _full_cfg(tmp_path, output_dir):
+    """Both sides share one cfg: the inference_mp3d.yaml switch set
+    (/root/reference/configs/inference_mp3d.yaml) minus dataset/weights."""
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.EMBEDDING_ON = True
+    cfg.MODEL.CAMERA_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+    cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+    cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+    cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+    cfg.MODEL.CAMERA_HEAD.INFERENCE_OUT_CAM_TYPE = "soft"
+    cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10  # CPU-test speed only
+    cfg.TEST.EVAL_FULL_SCENE = False
+    cfg.OUTPUT_DIR = output_dir
+    # the reference ctor unpickles these unconditionally
+    # (siamese_planeTR.py:119-128); content is irrelevant for state_dict
+    # layout, so plain-python stand-ins keep sklearn/spherecluster out
+    for key, shape in (("KMEANS_TRANS_PATH", (32, 3)),
+                       ("KMEANS_ROTS_PATH", (32, 4))):
+        p = tmp_path / f"{key}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(np.zeros(shape, np.float32), f)
+        setattr(cfg.MODEL.CAMERA_HEAD, key, str(p))
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ref_checkpoint(tmp_path_factory):
+    """Full reference model -> d2-layout .pth (the released-file shape)."""
+    from NopeSAC_Net.modeling.meta_arch.siamese_planeTR import PlaneTR_NopeSAC
+
+    tmp_path = tmp_path_factory.mktemp("full_ckpt")
+    cfg = _full_cfg(tmp_path, str(tmp_path / "out"))
+    torch.manual_seed(3)
+    ref = PlaneTR_NopeSAC(cfg)
+    state = ref.state_dict()
+    # perturb BN running stats away from init (mean 0 / var 1) so the
+    # batch_stats import is provably load-bearing downstream
+    g = torch.Generator().manual_seed(7)
+    for k, v in state.items():
+        if k.endswith("running_mean"):
+            state[k] = v + torch.rand(v.shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            state[k] = v + torch.rand(v.shape, generator=g) * 0.1
+    ckpt = tmp_path / "mp3d_NopeSAC_shaped.pth"
+    torch.save({"model": state, "iteration": 41999}, str(ckpt))
+    return str(ckpt), state, cfg
+
+
+@pytest.fixture(scope="module")
+def trainer_with_ckpt(ref_checkpoint, tmp_path_factory):
+    """Production load path: cfg.MODEL.WEIGHTS=<.pth> through Trainer
+    (engine/trainer.py _load_weights -> torch_import, incl. batch_stats)."""
+    from nopesac_tpu.engine.trainer import Trainer
+
+    ckpt, _, base_cfg = ref_checkpoint
+    cfg = base_cfg.clone()
+    cfg.MODEL.WEIGHTS = ckpt
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("trainer_out"))
+    cfg.freeze()
+    return Trainer(cfg, image_hw=(H, W))
+
+
+# tensors in the reference state_dict that are NOT model weights and are
+# deliberately not imported
+_EXPECTED_UNCONSUMED_SUFFIXES = (
+    # loss constant rebuilt from cfg on our side (criterion.py:71-73)
+    "criterion.empty_weight",
+    # torch BatchNorm step counter; meaningless without torch's momentum
+    # scheduling (flax BN has no equivalent and never needs one)
+    "num_batches_tracked",
+)
+
+
+def test_every_reference_tensor_consumed(ref_checkpoint, trainer_with_ckpt):
+    import jax
+
+    from nopesac_tpu.utils.torch_import import import_torch_weights, t_conv
+
+    ckpt, state, _ = ref_checkpoint
+    # the trainer state's trees double as the shape template (same shapes
+    # as a fresh init; values get overwritten by the import)
+    template = jax.device_get(trainer_with_ckpt.state.params)
+    bs_template = jax.device_get(trainer_with_ckpt.state.batch_stats)
+    params, bstats, report = import_torch_weights(
+        template, ckpt, batch_stats=bs_template, return_report=True)
+
+    unexpected = [k for k in report["unconsumed"]
+                  if not k.endswith(_EXPECTED_UNCONSUMED_SUFFIXES)]
+    assert not unexpected, (
+        f"{len(unexpected)} released-layout tensors silently dropped, e.g. "
+        f"{unexpected[:10]}")
+    # the module tree is large; a regression that skips a whole head would
+    # show as a big n_loaded drop even if key names still match (n_loaded
+    # counts flax-tree puts: scanned stacks collapse e.g. 18 torch GNN
+    # layers into ONE stacked put, so it's smaller than n_checkpoint;
+    # measured 618 for the full model)
+    assert report["n_loaded"] >= 600, report["n_loaded"]
+
+    # spot value equality through the layout transposes (both the report
+    # import above and the production Trainer import must agree with torch)
+    def t(k):
+        return state[k].numpy()
+
+    for tree in (params, jax.device_get(trainer_with_ckpt.state.params)):
+        np.testing.assert_array_equal(
+            tree["backbone"]["stem_conv1"]["kernel"],
+            t_conv(t("backbone.stem.conv1.weight")))
+        np.testing.assert_array_equal(
+            tree["camera_head"]["trans"]["kernel"],
+            t("camera_head_list.0.trans.weight").T)
+        np.testing.assert_array_equal(
+            tree["matching_head"]["bin_score"], t("matching_head.bin_score"))
+    # BN running stats landed (perturbed from 0/1 in the fixture):
+    # plane-head top_down up_conv1 is a trainable-BN module
+    np.testing.assert_array_equal(
+        bstats["plane_head"]["top_down"]["up_conv1"]["BatchNorm_0"]["mean"],
+        t("sem_seg_head.top_down.up_conv1.1.running_mean"))
+
+
+def test_trainer_infers_with_full_checkpoint(trainer_with_ckpt):
+    data = make_dataset(n_pairs=1, n_planes=4, h=H, w=W, seed=9)
+    results = trainer_with_ckpt.test(dataset_list=data)
+    for key in ("T median err", "R median err"):
+        assert np.isfinite(results[key]), (key, results[key])
