@@ -99,9 +99,12 @@ def main():
         from tests.test_model_smoke import make_batch  # reuse the batch builder
         model = PlaneTRNopeSAC(dtype=jnp.bfloat16)
         batch = make_batch(np.random.default_rng(0), b=B, h=H, w=W)
-        variables = model.init(
+        # init MUST be jitted: an eager init op-by-op through the axon
+        # tunnel is one network round trip per HLO op (>15 min for the
+        # train graph vs seconds jitted)
+        variables = jax.jit(lambda bt: model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            batch, jax.random.PRNGKey(2), method=model.train_forward)
+            bt, jax.random.PRNGKey(2), method=model.train_forward))(batch)
 
         @jax.jit
         def step(v, bt, fb):
