@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -36,12 +37,36 @@ def create_train_state(params, batch_stats, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, tx, dropout_rng_impl: Optional[str] = None) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    dropout_rng_impl: PRNG implementation for the dropout masks.
+    None/"default" resolves to the hardware "rbg" generator on TPU and
+    threefry elsewhere: threefry is ALU-heavy on the VPU and the train
+    step draws ~200M dropout bits (the 6 encoder layers alone carry an
+    attention-weights dropout on [2B, 8, 350, 350]); rbg is
+    counter-deterministic given the key, just not invariant across
+    backends - fine for dropout masks. "threefry2x32" forces the
+    backend-invariant generator (NOPESAC_DROPOUT_RNG env overrides)."""
+    import os
+
+    impl = os.environ.get("NOPESAC_DROPOUT_RNG") or dropout_rng_impl
+    if impl in (None, "", "default"):
+        from ..utils.backend import on_tpu
+
+        impl = "rbg" if on_tpu() else "threefry2x32"
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rng_fold = jax.random.fold_in(rng, state.step)
         drop_rng, aim_rng = jax.random.split(rng_fold)
+        if impl != "threefry2x32":
+            # derive an impl-specific key deterministically from the
+            # threefry stream (key data sizes differ per impl)
+            nwords = int(np.prod(jax.random.key_data(
+                jax.random.key(0, impl=impl)).shape))
+            bits = jax.random.bits(
+                drop_rng, (nwords,), jnp.uint32)
+            drop_rng = jax.random.wrap_key_data(bits, impl=impl)
 
         def loss_fn(params):
             (losses), new_state = model.apply(

@@ -57,12 +57,17 @@ def upsample_bilinear(x: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
     return jnp.einsum("Hh,...hw,Ww->...HW", ah, x, aw)
 
 
-def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
+def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None, matched=None):
     """Per-query focal mean + dice vs each query's matched GT mask.
 
     src: [B, NQ, h, w] mask logits; gt_masks: [B, NG, H, W] 0/1 (uint8);
     tgt_idx: [B, NQ] matched gt index (clamped >= 0; unmatched queries must
     be zeroed by the caller). Returns (focal_per [B,NQ], dice [B,NQ]) f32.
+
+    matched: [B, NQ] bool (optional). On the Pallas path unmatched queries
+    skip the kernel's upsample+focal work entirely and return zeros - the
+    caller masks them regardless (the reference gathers matched-only,
+    criterion.py:102-104), so only masked-out lanes change value.
 
     On TPU this dispatches to the fused Pallas kernel
     (ops/mask_loss_pallas.py) - no full-resolution [B,NQ,H,W] tensor ever
@@ -92,9 +97,15 @@ def mask_focal_dice(src, gt_masks, tgt_idx, use_pallas=None):
     if use_pallas:
         from ..ops.mask_loss_pallas import fused_focal_dice
 
-        f_sum, inter, psum, tsum = fused_focal_dice(src, gt_masks, tgt_idx, False)
+        f_sum, inter, psum, tsum = fused_focal_dice(
+            src, gt_masks, tgt_idx, False, matched)
         focal_per = f_sum / (gh * gw)
         dice = 1.0 - (2.0 * inter + 1.0) / (psum + tsum + 1.0)
+        if matched is not None:
+            # unmatched lanes came back as exact zeros from the kernel ->
+            # dice would read 1 - 1/1 = 0 already, but keep the naive-path
+            # convention (caller multiplies by matched anyway)
+            dice = dice * matched.astype(dice.dtype)
         return focal_per, dice
 
     src_up = upsample_bilinear(src, gh, gw)
@@ -260,7 +271,7 @@ def detection_losses(
     gh, gw = gt_masks.shape[-2:]
     src = outputs["pred_mask_logits"]  # [B, NQ, h, w]
     matched_f32 = matched_f.astype(jnp.float32)
-    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx)
+    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx, matched=matched)
     losses["loss_mask"] = jnp.sum(focal_per * matched_f32) / num_masks
     losses["loss_dice"] = jnp.sum(dice * matched_f32) / num_masks
 
@@ -468,7 +479,7 @@ def detection_losses_siamese(
     gh, gw = gt_masks.shape[-2:]
     src = outputs["pred_mask_logits"]
     matched_f32 = matched_f.astype(jnp.float32)
-    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx)
+    focal_per, dice = mask_focal_dice(src, gt_masks, tgt_idx, matched=matched)
     losses["loss_mask"] = jnp.mean(per_view_sum(focal_per * matched_f32) / num_masks_v)
     losses["loss_dice"] = jnp.mean(per_view_sum(dice * matched_f32) / num_masks_v)
 

@@ -220,6 +220,103 @@ def main():
     timed_chain("matching loss fwd+bwd", make_subset_fwdbwd(emb_pred))
     timed_chain("camera losses fwd+bwd", make_subset_fwdbwd(cam_pred))
 
+    # criterion attribution: each subset still carries backbone+plane-head
+    # fwd+bwd (grads flow through them); differences vs "ce only" isolate
+    # the per-loss-family criterion cost
+    mask_pred = lambda k: k.startswith(("loss_mask", "loss_dice"))
+    q_pred = lambda k: k.startswith("loss_q")
+    ce_pred = lambda k: k.startswith("loss_ce")
+    cparam_pred = lambda k: k.startswith(("loss_center", "loss_param"))
+
+    def full_fwd_det(v, bt, fb):
+        bt = dict(bt, image0=bt["image0"] + fb)
+        return subset_total(v, bt, det_pred) * 1e-20
+
+    timed_chain("detection losses fwd ONLY", full_fwd_det)
+    timed_chain("ce loss fwd+bwd", make_subset_fwdbwd(ce_pred))
+    timed_chain("mask+dice losses fwd+bwd", make_subset_fwdbwd(mask_pred))
+    timed_chain("q loss fwd+bwd", make_subset_fwdbwd(q_pred))
+    timed_chain("center+param losses fwd+bwd", make_subset_fwdbwd(cparam_pred))
+
+    # plane-head isolation: detect-output-sum fwd+bwd with the default model
+    # vs a dropout=0 twin (flax Dropout rate==0 short-circuits, so the delta
+    # is the full RNG-generation + mask-multiply cost of train-mode dropout)
+    def make_detect_fwdbwd(m, rng_impl="threefry2x32"):
+        def fn(v, bt, fb):
+            img = jnp.concatenate([bt["image0"], bt["image1"]], axis=0) + fb
+            drop_rng = jax.random.key(8, impl=rng_impl)
+
+            def loss(p):
+                _, out, qf = m.apply(
+                    {"params": p, "batch_stats": v.get("batch_stats", {})},
+                    img, True, method=m.detect,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng},
+                )[0]
+                return (sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                            for x in jax.tree_util.tree_leaves(out))
+                        + jnp.sum(qf.astype(jnp.float32)))
+
+            l, g = jax.value_and_grad(loss)(v["params"])
+            gn = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                     for x in jax.tree_util.tree_leaves(g))
+            return (l + gn) * 1e-20
+        return fn
+
+    cfg_nd = cfg.clone()
+    cfg_nd.MODEL.SEM_SEG_HEAD.DROPOUT = 0.0
+    model_nodrop = build_model_from_cfg(cfg_nd)
+    timed_chain("detect fwd+bwd", make_detect_fwdbwd(model))
+    timed_chain("detect fwd+bwd (dropout=0)", make_detect_fwdbwd(model_nodrop))
+    timed_chain("detect fwd+bwd (rbg dropout)", make_detect_fwdbwd(model, "rbg"))
+
+    # standalone mask-loss kernel timing at the real training shapes
+    # ([2B,NQ,120,160] logits vs [2B,NG,480,640] gt), isolated from the
+    # rest of the step; use_pallas toggles kernel vs naive XLA chain
+    from nopesac_tpu.losses.criterion import mask_focal_dice
+
+    def make_maskloss(use_pallas, grad, with_matched=True):
+        nq = model.num_queries
+        b2 = 2 * B
+
+        def fn(v, bt, fb):
+            # everything derived from the batch ON DEVICE inside the jit -
+            # closed-over [2B,NG,480,640] masks / [2B,NQ,120,160] logits
+            # embed ~491MB constants in the HLO and the tunnel rejects the
+            # upload with HTTP 413
+            t0s = unpack_targets(bt["targets0"])
+            t1s = unpack_targets(bt["targets1"])
+            gt_masks = jnp.concatenate(
+                [t0s["gt_masks"], t1s["gt_masks"]], axis=0)
+            valid = jnp.concatenate(
+                [t0s["gt_valid"], t1s["gt_valid"]], axis=0)
+            qidx = jnp.arange(nq)[None]
+            num_gt = jnp.sum(valid.astype(jnp.int32), axis=-1, keepdims=True)
+            matched = qidx < num_gt  # first num_gt queries matched
+            tgt_idx = jnp.where(matched, qidx, 0)
+            n = b2 * nq * 120 * 160
+            flat = bt["image0"].reshape(-1)
+            reps = n // flat.size + 1
+            src = jnp.tile(flat, reps)[:n].reshape(b2, nq, 120, 160) + fb
+
+            def loss(s):
+                fp, dc = mask_focal_dice(
+                    s, gt_masks, tgt_idx, use_pallas=use_pallas,
+                    matched=(matched if with_matched else None))
+                m = matched.astype(jnp.float32)
+                return jnp.sum(fp * m) + jnp.sum(dc * m)
+
+            if grad:
+                l, g = jax.value_and_grad(loss)(src)
+                return (l + jnp.sum(jnp.abs(g))) * 1e-20
+            return loss(src) * 1e-20
+        return fn
+
+    timed_chain("maskloss pallas fwd", make_maskloss(True, False))
+    timed_chain("maskloss pallas fwd+bwd", make_maskloss(True, True))
+    timed_chain("maskloss pallas fwd+bwd all-50", make_maskloss(True, True, False))
+    timed_chain("maskloss naive fwd+bwd", make_maskloss(False, True))
+
 
 if __name__ == "__main__":
     main()
