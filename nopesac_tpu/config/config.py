@@ -177,6 +177,12 @@ def get_cfg() -> CfgNode:
     # "bfloat16" (4x MXU matmul rate on TPU; master weights/optimizer state
     # stay f32 either way - flax modules cast activations only)
     c.MODEL.COMPUTE_DTYPE = "float32"
+    # train-mode backbone block-interior dtype: "float32" (homogeneous,
+    # reference-parity default) or "bfloat16" (AMP-style: bottleneck-block
+    # interiors compute/store bf16, the residual trunk and every residual
+    # accumulation stay f32 — the trunk is where the DETR query-
+    # distinguishing signal lives; see models/resnet.py + PERF.md A/B)
+    c.MODEL.BACKBONE_TRAIN_DTYPE = "float32"
     # train-mode backbone rematerialisation (activation checkpointing):
     # trades ~+11% train FLOPs for the HBM needed to fit IMS_PER_BATCH=16
     # (the reference's training batch) on a single v5e chip

@@ -115,6 +115,10 @@ def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
         inference_out_cam_type=cam.INFERENCE_OUT_CAM_TYPE,
         transformer_dropout=h.get("DROPOUT", 0.1),
         remat_backbone=cfg.MODEL.get("REMAT", True),
+        backbone_train_dtype=(
+            jnp.bfloat16
+            if cfg.MODEL.get("BACKBONE_TRAIN_DTYPE", "float32") == "bfloat16"
+            else jnp.float32),
         loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
         loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
         loss_matching_on=cfg.MODEL.LOSS_EMB_ON,

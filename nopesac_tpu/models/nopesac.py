@@ -67,6 +67,9 @@ class PlaneTRNopeSAC(nn.Module):
     # train-mode activation rematerialisation for the backbone (MODEL.REMAT);
     # required to fit the reference's bs=16 (SOLVER.IMS_PER_BATCH) on one v5e
     remat_backbone: bool = True
+    # train-mode backbone block-interior dtype (MODEL.BACKBONE_TRAIN_DTYPE).
+    # The residual trunk stays f32 either way — see resnet.py's policy note.
+    backbone_train_dtype: Dtype = jnp.float32
 
     # ---- training switches & loss weights (config.py / train yamls) ----
     loss_detection_on: bool = True
@@ -90,7 +93,8 @@ class PlaneTRNopeSAC(nn.Module):
     plane_cam_weight_predplane: float = 0.1
 
     def setup(self):
-        self.backbone = ResNet(dtype=self.dtype, remat=self.remat_backbone)
+        self.backbone = ResNet(dtype=self.dtype, remat=self.remat_backbone,
+                               train_block_dtype=self.backbone_train_dtype)
         self.plane_head = PlaneTRHead(
             num_queries=self.num_queries,
             depth_on=self.depth_on,

@@ -9,7 +9,7 @@ stored HWIO; the torch->jax importer transposes OIHW -> HWIO.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -110,11 +110,20 @@ class Bottleneck(nn.Module):
     bottleneck_channels: int
     stride: int = 1
     has_shortcut: bool = False
+    # interior compute dtype (conv/BN/relu chain inside the block)
     dtype: Dtype = jnp.float32
+    # residual-trunk dtype: the dtype x arrives in and the block returns.
+    # None means "= dtype" (the homogeneous-precision layout). Setting
+    # out_dtype=f32 with dtype=bf16 gives the AMP-style mixed policy: block
+    # interiors run 1-pass bf16 on the MXU with half the HBM traffic, while
+    # the residual stream — where the DETR query-distinguishing signal
+    # accumulates (see ResNet.__call__ note) — stays f32.
+    out_dtype: Optional[Dtype] = None
     fuse_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        odt = self.dtype if self.out_dtype is None else self.out_dtype
         cin = x.shape[-1]
         k1 = _ConvKernel((1, 1, cin, self.bottleneck_channels), name="conv1")()
         m1, a1 = _BNParams(self.bottleneck_channels, name="bn1")()
@@ -137,7 +146,8 @@ class Bottleneck(nn.Module):
             out = out.reshape(b, h, w, self.bottleneck_channels)
         else:
             out = lax.conv_general_dilated(
-                x, k1.astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
+                x.astype(self.dtype), k1.astype(self.dtype), (1, 1),
+                [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             out = out * m1.astype(self.dtype) + a1.astype(self.dtype)
             out = nn.relu(out)
@@ -161,15 +171,18 @@ class Bottleneck(nn.Module):
         out = lax.conv_general_dilated(
             out, k3.astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        out = out * m3.astype(self.dtype) + a3.astype(self.dtype)
+        # the BN3 affine + residual add + relu run in the trunk dtype so the
+        # block's contribution is accumulated at full trunk precision
+        out = out.astype(odt) * m3.astype(odt) + a3.astype(odt)
 
         if self.has_shortcut:
             sc = nn.Conv(self.out_channels, (1, 1), strides=(self.stride, self.stride),
                          use_bias=False, dtype=self.dtype, kernel_init=xavier_uniform,
-                         name="shortcut_conv")(x)
-            sc = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="shortcut_bn")(sc)
+                         name="shortcut_conv")(x.astype(self.dtype))
+            sc = FrozenBatchNorm(self.out_channels, dtype=odt,
+                                 name="shortcut_bn")(sc.astype(odt))
         else:
-            sc = x
+            sc = x.astype(odt)
         return nn.relu(out + sc)
 
 
@@ -194,24 +207,34 @@ class ResNet(nn.Module):
     # spends the freed HBM on fewer spills/copies than the recompute costs.
     remat: bool = True
     remat_stages: Sequence[str] = ("res2", "res3", "res4", "res5")
+    # TRAIN-mode block-interior compute dtype. The residual TRUNK always
+    # stays f32 in train mode: measured on the synthetic overfit (800 steps,
+    # bs=8), with a fully-bf16 backbone the DETR plane head never escapes the
+    # uniform-logits saddle (CE frozen at ln 2, dice 0.73) even after the
+    # whole transformer stack, FPN and mask einsum were already forced f32 —
+    # the Hungarian-assignment dynamics need the backbone features (and their
+    # gradients) resolved below bf16's 2^-8 relative rounding. But "f32"
+    # storage and bf16 MXU operands are separable: f32 convs at
+    # Precision.DEFAULT already round operands to bf16 on TPU (1-pass,
+    # f32-accumulate — tools/bench_conv_precision.py), so setting
+    # train_block_dtype=bf16 only changes where intermediate activations are
+    # ROUNDED to bf16 (block interiors), while every residual accumulation
+    # stays f32 (MODEL.BACKBONE_TRAIN_DTYPE; convergence A/B in PERF.md).
+    # Inference keeps the homogeneous bf16 rate (367 pairs/s/chip,
+    # full-pipeline parity validated).
+    train_block_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # TRAIN-mode convs stay f32 even under bf16 compute. Measured on the
-        # synthetic overfit (800 steps, bs=8): with a bf16 backbone the DETR
-        # plane head never escapes the uniform-logits saddle (CE frozen at
-        # ln 2, dice 0.73) even after the whole transformer stack, FPN and
-        # mask einsum were already forced f32 — the Hungarian-assignment
-        # dynamics need the backbone features (and their gradients) resolved
-        # below bf16's 2^-8 relative rounding. Inference keeps the bf16 MXU
-        # rate (367 pairs/s/chip, full-pipeline parity validated).
         dt = jnp.float32 if train else self.dtype
+        bdt = self.train_block_dtype if train else self.dtype
         # stem: 7x7/2 conv (space-to-depth form) + frozen BN + relu + maxpool
-        x = _StemConv(self.stem_out_channels, dtype=dt,
+        x = _StemConv(self.stem_out_channels, dtype=bdt,
                       s2d=self.stem_s2d, name="stem_conv1")(x)
-        x = FrozenBatchNorm(self.stem_out_channels, dtype=dt, name="stem_bn1")(x)
+        x = FrozenBatchNorm(self.stem_out_channels, dtype=bdt, name="stem_bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = x.astype(dt)  # trunk dtype from here on
 
         feats = {}
         channels = 256
@@ -232,7 +255,8 @@ class ResNet(nn.Module):
                     bottleneck_channels=bottleneck,
                     stride=stride,
                     has_shortcut=(block_idx == 0),
-                    dtype=dt,
+                    dtype=bdt,
+                    out_dtype=dt,
                     fuse_tail=self.fuse_tail,
                     name=f"{name}_{block_idx}",
                 )(x, train)  # positional: remat static_argnums=(2,)

@@ -108,3 +108,35 @@ def test_stem_s2d_variant_matches(both):
     for name in a:
         np.testing.assert_allclose(np.asarray(a[name]), np.asarray(b[name]),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_mixed_precision_train_policy(both):
+    """MODEL.BACKBONE_TRAIN_DTYPE=bfloat16: block interiors compute bf16 but
+    the residual trunk (and the returned feature maps) stay f32 in train
+    mode, tracking the homogeneous-f32 policy within bf16 rounding; the
+    eval-mode graph is unaffected bit-for-bit (resnet.py policy note)."""
+    _, _, params, x = both
+    ref = ResNet(depth=50, remat=False)
+    mix = ResNet(depth=50, remat=False, train_block_dtype=jnp.bfloat16)
+    xj = jnp.asarray(x)
+    a = jax.jit(lambda p, v: ref.apply({"params": p}, v, True))(params, xj)
+    b = jax.jit(lambda p, v: mix.apply({"params": p}, v, True))(params, xj)
+    for name in a:
+        assert b[name].dtype == jnp.float32  # trunk stays f32
+        sa, sb = np.asarray(a[name]), np.asarray(b[name])
+        scale = max(1.0, float(np.abs(sa).max()))
+        # bf16 has ~2^-8 relative ulps; block contributions accumulate f32
+        np.testing.assert_allclose(sb / scale, sa / scale, atol=4e-2)
+    # eval path: identical program regardless of the train-only knob
+    ea = jax.jit(lambda p, v: ref.apply({"params": p}, v, False))(params, xj)
+    eb = jax.jit(lambda p, v: mix.apply({"params": p}, v, False))(params, xj)
+    for name in ea:
+        np.testing.assert_array_equal(np.asarray(ea[name]), np.asarray(eb[name]))
+    # gradients flow through the mixed graph and land f32 (master weights)
+    def loss(p):
+        f = mix.apply({"params": p}, xj, True)
+        return sum(jnp.sum(v ** 2) for v in f.values())
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)

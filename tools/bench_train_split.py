@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sections", default="",
                     help="comma list to restrict (names printed as they run)")
+    ap.add_argument("--bb-train-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="MODEL.BACKBONE_TRAIN_DTYPE for the run (mixed "
+                         "f32-trunk/bf16-interior backbone when bfloat16)")
     args = ap.parse_args()
 
     from nopesac_tpu.config.config import get_cfg
@@ -52,6 +56,7 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
     cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
     cfg.MODEL.COMPUTE_DTYPE = "bfloat16"
+    cfg.MODEL.BACKBONE_TRAIN_DTYPE = args.bb_train_dtype
     model = build_model_from_cfg(cfg)
 
     data = make_dataset(n_pairs=B, n_planes=6, h=H, w=W)
@@ -97,7 +102,8 @@ def main():
     # `self.backbone = ResNet(dtype=self.dtype, remat=self.remat_backbone)`)
     # applied to the model's own "backbone" params subtree.
     from nopesac_tpu.models.resnet import ResNet
-    bb = ResNet(dtype=model.dtype, remat=True)
+    bb = ResNet(dtype=model.dtype, remat=True,
+                train_block_dtype=model.backbone_train_dtype)
 
     def bb_params(v):
         return {"params": v["params"]["backbone"]}
