@@ -259,12 +259,20 @@ def get_cfg() -> CfgNode:
     cam.REFINE_ON = False
     cam.CAM_REC_ON = False
     cam.RAND_ON = False
+    # PIXEL_CAM_FIX_ON is parity-inert by design: the reference defines it
+    # (config.py:69) and never reads it anywhere in NopeSAC_Net. Kept for
+    # config-file compatibility only (like DEBUG_ON below).
     cam.PIXEL_CAM_FIX_ON = False
     cam.INFERENCE_OUT_CAM_TYPE = "soft"
     cam.INITIAL_CAM_WEIGHT = 1.0
     cam.PLANE_CAM_WEIGHT = 1.0
     cam.PLANE_CAM_WEIGHT_PREDPLANE = 0.1
     cam.CLASSIFICATION_ON = False
+    # SparsePlanes top-1-camera ablation: at inference the initial camera is
+    # read from the pickle at INFERENCE_SP_TOPCAM_PATH (keyed
+    # "<image_id1>-<image_id2>") instead of the PixelCameraHead (reference
+    # camera_head.py:44-59, 419-431; requires CAM_REC_ON). Wired in
+    # engine/trainer.test() -> PlaneTRNopeSAC.inference(init_cam=...).
     cam.INFERENCE_SP_TOPCAM_ON = False
     cam.INFERENCE_SP_TOPCAM_PATH = ""
     cam.WARP_PLANE_IN_CAM_REF_ON = True

@@ -123,14 +123,27 @@ def jit_train_step(train_step: Callable, mesh: Mesh) -> Callable:
 
 
 def make_eval_step(model, out_h: int = 480, out_w: int = 640,
-                   with_gt_geo: bool = False) -> Callable:
+                   with_gt_geo: bool = False,
+                   with_init_cam: bool = False) -> Callable:
     """with_gt_geo=True adds a gt_geo argument for the GT-matcher pose
     refinement ablation (cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS; spec
-    camera_head.py:520-547)."""
-    if with_gt_geo:
+    camera_head.py:520-547). with_init_cam=True adds an init_cam argument
+    ({tran [B,3], rot [B,4]}) for the SparsePlanes top-1-camera substitution
+    (cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_ON; spec
+    camera_head.py:419-431)."""
+    if with_gt_geo and with_init_cam:
+        def eval_step(variables, image0, image1, gt_geo, init_cam):
+            return model.apply(variables, image0, image1, method=model.inference,
+                               out_h=out_h, out_w=out_w, gt_geo=gt_geo,
+                               init_cam=init_cam)
+    elif with_gt_geo:
         def eval_step(variables, image0, image1, gt_geo):
             return model.apply(variables, image0, image1, method=model.inference,
                                out_h=out_h, out_w=out_w, gt_geo=gt_geo)
+    elif with_init_cam:
+        def eval_step(variables, image0, image1, init_cam):
+            return model.apply(variables, image0, image1, method=model.inference,
+                               out_h=out_h, out_w=out_w, init_cam=init_cam)
     else:
         def eval_step(variables, image0, image1):
             return model.apply(variables, image0, image1, method=model.inference,

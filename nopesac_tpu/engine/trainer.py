@@ -88,13 +88,22 @@ def gt_geo_from_samples(chunk: List[dict], samples: List[dict], nq: int,
     }
 
 
+def _resolve_dtype_cfg(value: str, key: str):
+    """Map a config dtype string to a jnp dtype, rejecting typos ("bf16",
+    "fp32", ...) instead of silently falling back to float32."""
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    if value not in table:
+        raise ValueError(
+            f"MODEL.{key} must be one of {sorted(table)}, got {value!r}")
+    return table[value]
+
+
 def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
     """dtype=None resolves MODEL.COMPUTE_DTYPE from the config (bf16 compute
     with f32 master weights when "bfloat16"); pass explicitly to override."""
     if dtype is None:
-        dtype = (jnp.bfloat16
-                 if cfg.MODEL.get("COMPUTE_DTYPE", "float32") == "bfloat16"
-                 else jnp.float32)
+        dtype = _resolve_dtype_cfg(
+            cfg.MODEL.get("COMPUTE_DTYPE", "float32"), "COMPUTE_DTYPE")
     h = cfg.MODEL.SEM_SEG_HEAD
     cam = cfg.MODEL.CAMERA_HEAD
     return PlaneTRNopeSAC(
@@ -115,10 +124,9 @@ def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
         inference_out_cam_type=cam.INFERENCE_OUT_CAM_TYPE,
         transformer_dropout=h.get("DROPOUT", 0.1),
         remat_backbone=cfg.MODEL.get("REMAT", True),
-        backbone_train_dtype=(
-            jnp.bfloat16
-            if cfg.MODEL.get("BACKBONE_TRAIN_DTYPE", "float32") == "bfloat16"
-            else jnp.float32),
+        backbone_train_dtype=_resolve_dtype_cfg(
+            cfg.MODEL.get("BACKBONE_TRAIN_DTYPE", "float32"),
+            "BACKBONE_TRAIN_DTYPE"),
         loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
         loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
         loss_matching_on=cfg.MODEL.LOSS_EMB_ON,
@@ -513,12 +521,27 @@ class Trainer:
             if cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS:
                 logger.warning("...with Gaussian noise on the GT planes")
                 noise_rng = np.random.default_rng(cfg.SEED if cfg.SEED >= 0 else 0)
-        key = (use_gt_matcher, h, w)
+        # SP top-1-camera substitution (camera_head.py:44-59, 419-431): the
+        # host loads the SparsePlanes pickle once and looks up each pair's
+        # initial pose by "<image_id1>-<image_id2>"; the jitted graph skips
+        # the PixelCameraHead and refines from the substituted pose.
+        sp_topcam = None
+        if bool(cfg.MODEL.CAMERA_HEAD.get("INFERENCE_SP_TOPCAM_ON", False)):
+            if not bool(cfg.MODEL.CAMERA_HEAD.CAM_REC_ON):
+                raise ValueError(
+                    "INFERENCE_SP_TOPCAM_ON requires CAMERA_HEAD.CAM_REC_ON "
+                    "(reference camera_head.py:469)")
+            logger.warning("Note: using top1 cam")
+            import pickle
+            with open(cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_PATH, "rb") as f:
+                sp_topcam = pickle.load(f)
+        key = (use_gt_matcher, sp_topcam is not None, h, w)
         if getattr(self, "_eval_steps", None) is None:
             self._eval_steps = {}
         if key not in self._eval_steps:
             self._eval_steps[key] = jax.jit(make_eval_step(
-                self.model, out_h=h, out_w=w, with_gt_geo=use_gt_matcher))
+                self.model, out_h=h, out_w=w, with_gt_geo=use_gt_matcher,
+                with_init_cam=sp_topcam is not None))
         eval_step = self._eval_steps[key]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         if jax.process_count() > 1:
@@ -561,16 +584,28 @@ class Trainer:
             samples = [mapper(d) for d in chunk]
             img0 = jnp.asarray(np.stack([s["image0"] for s in samples]))
             img1 = jnp.asarray(np.stack([s["image1"] for s in samples]))
+            extra = []
             if use_gt_matcher:
                 gt_geo = gt_geo_from_samples(
                     chunk, samples, self.model.num_queries, noise_rng=noise_rng,
                     scale_offset=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_OFFSET_SCALE,
                     scale_normal_deg=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_NORMAL_SCALE,
                 )
-                gt_geo = {k: jnp.asarray(v) for k, v in gt_geo.items()}
-                fut = eval_step(variables, img0, img1, gt_geo)
-            else:
-                fut = eval_step(variables, img0, img1)
+                extra.append({k: jnp.asarray(v) for k, v in gt_geo.items()})
+            if sp_topcam is not None:
+                # KeyError on a missing pair matches the reference's direct
+                # dict indexing (camera_head.py:424)
+                cams = [sp_topcam[d["0"]["image_id"] + "-" + d["1"]["image_id"]]
+                        for d in chunk]
+                extra.append({
+                    "tran": jnp.asarray(np.stack(
+                        [np.asarray(c["position"], np.float32).reshape(3)
+                         for c in cams])),
+                    "rot": jnp.asarray(np.stack(
+                        [np.asarray(c["rotation"], np.float32).reshape(4)
+                         for c in cams])),
+                })
+            fut = eval_step(variables, img0, img1, *extra)
             if pending is not None:
                 _drain(pending)
             pending = (chunk, [s["meta"] for s in samples], fut)

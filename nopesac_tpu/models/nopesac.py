@@ -442,7 +442,7 @@ class PlaneTRNopeSAC(nn.Module):
         }
 
     def inference(self, images0, images1, out_h: int = 480, out_w: int = 640,
-                  gt_geo=None):
+                  gt_geo=None, init_cam=None):
         """Full inference: detection + matching + NOPE-SAC pose.
 
         Spec: siamese_planeTR.py:338-450 + camera_head.py:400-640
@@ -455,6 +455,14 @@ class PlaneTRNopeSAC(nn.Module):
         corr_idx2 [B,M] and corr_valid [B,M]. When given, the pose-refinement
         geo sequence is built from these GT correspondences instead of the
         predicted assignment; detection/matching outputs stay prediction-based.
+
+        init_cam: optional initial-camera substitution (the SparsePlanes
+        top-1-camera ablation, cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_ON;
+        spec camera_head.py:419-431): a dict with tran [B,3] and rot [B,4]
+        looked up on the host from the SP pickle. When given, the
+        PixelCameraHead is skipped and the refinement starts from this pose
+        (the reference requires CAM_REC_ON in this mode, camera_head.py:469 —
+        enforced by the caller, engine/trainer.test()).
         """
         b = images0.shape[0]
         images_cat = jnp.concatenate([images0, images1], axis=0)
@@ -483,11 +491,11 @@ class PlaneTRNopeSAC(nn.Module):
 
         result.update(self.camera_inference(
             feats_cat, qf0, qf1, sel0["params"], sel1["params"],
-            sel0["valid"], sel1["valid"], gt_geo=gt_geo))
+            sel0["valid"], sel1["valid"], gt_geo=gt_geo, init_cam=init_cam))
         return result
 
     def camera_inference(self, feats_cat, qf0, qf1, params0, params1,
-                         valid0, valid1, gt_geo=None):
+                         valid0, valid1, gt_geo=None, init_cam=None):
         """Camera half of inference: initial pose, AIM, matching, NOPE-SAC
         refinement, assignment re-gating, camera dict zoo.
 
@@ -506,10 +514,30 @@ class PlaneTRNopeSAC(nn.Module):
             "rot": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], self.dtype), (b, 1)),
         }
 
+        if init_cam is not None and not self.cam_rec_on:
+            # trace-time mirror of the reference's assert (camera_head.py:469)
+            raise ValueError(
+                "init_cam (INFERENCE_SP_TOPCAM_ON) requires CAM_REC_ON: the "
+                "substituted pose has no PixelCameraHead features, so the AIM "
+                "rec heads must regenerate them")
         # initial pose (sign-canonicalised, camera_head.py:436-437)
-        init = self.camera_head.pixel_camera(feats_cat, train=False)
-        init_rot = canonicalize_quat_sign(init["rot"])
-        init_tran = init["tran"]
+        if init_cam is not None:
+            # SP top-1-camera substitution (camera_head.py:419-431): the
+            # host-provided pose replaces the PixelCameraHead prediction,
+            # normalised + sign-canonicalised exactly as the reference does;
+            # the regression net never runs in this graph variant. CAM_REC_ON
+            # must be on (camera_head.py:469) so the AIM rec heads supply the
+            # pose features downstream — asserted by the caller.
+            rot = init_cam["rot"].astype(self.dtype)
+            rot = rot / jnp.maximum(
+                jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+            init_rot = canonicalize_quat_sign(rot)
+            init_tran = init_cam["tran"].astype(self.dtype)
+            init = None
+        else:
+            init = self.camera_head.pixel_camera(feats_cat, train=False)
+            init_rot = canonicalize_quat_sign(init["rot"])
+            init_tran = init["tran"]
         cameras["camera_init"] = {"tran": init_tran, "rot": init_rot}
 
         if self.cam_rec_on:

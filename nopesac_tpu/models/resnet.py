@@ -219,7 +219,8 @@ class ResNet(nn.Module):
     # f32-accumulate — tools/bench_conv_precision.py), so setting
     # train_block_dtype=bf16 only changes where intermediate activations are
     # ROUNDED to bf16 (block interiors), while every residual accumulation
-    # stays f32 (MODEL.BACKBONE_TRAIN_DTYPE; convergence A/B in PERF.md).
+    # stays f32 (MODEL.BACKBONE_TRAIN_DTYPE; 800-step overfit convergence
+    # A/B in PERF.md "Backbone-mixed-precision A/B", round 5).
     # Inference keeps the homogeneous bf16 rate (367 pairs/s/chip,
     # full-pipeline parity validated).
     train_block_dtype: Dtype = jnp.float32

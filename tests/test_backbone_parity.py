@@ -127,6 +127,16 @@ def test_mixed_precision_train_policy(both):
         scale = max(1.0, float(np.abs(sa).max()))
         # bf16 has ~2^-8 relative ulps; block contributions accumulate f32
         np.testing.assert_allclose(sb / scale, sa / scale, atol=4e-2)
+        # global-max normalisation alone under-constrains small-magnitude
+        # channels (a sign flip below 4% of max would pass) — also require
+        # near-unit cosine alignment and a bounded relative L2 error of the
+        # whole feature map, which small-channel corruption would break.
+        num = float((sa * sb).sum())
+        cos = num / max(float(np.linalg.norm(sa) * np.linalg.norm(sb)), 1e-12)
+        assert cos > 0.9995, (name, cos)
+        rel_l2 = float(np.linalg.norm(sb - sa)) / max(
+            float(np.linalg.norm(sa)), 1e-12)
+        assert rel_l2 < 4e-2, (name, rel_l2)
     # eval path: identical program regardless of the train-only knob
     ea = jax.jit(lambda p, v: ref.apply({"params": p}, v, False))(params, xj)
     eb = jax.jit(lambda p, v: mix.apply({"params": p}, v, False))(params, xj)

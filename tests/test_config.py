@@ -70,3 +70,32 @@ class TestCfgNode:
             cfg = get_cfg()
             cfg.merge_from_file(path)
             cfg.freeze()
+
+
+class TestInertKeys:
+    def test_documented_inert_key_set(self):
+        """Exactly one config key is parity-inert by design besides DEBUG_ON:
+        PIXEL_CAM_FIX_ON (the reference defines it, config.py:69, and never
+        reads it). INFERENCE_SP_TOPCAM_ON is FUNCTIONAL (wired in
+        engine/trainer.test); this test pins the documented inert set so a
+        silently-unwired key can't reappear without failing review."""
+        import inspect
+
+        import nopesac_tpu.config.config as cfgmod
+        src = inspect.getsource(cfgmod)
+        for needle in ("cam.PIXEL_CAM_FIX_ON = False", "c.DEBUG_ON = False"):
+            # each inert key must carry its "parity-inert" doc where defined
+            defn = src.index(needle)
+            assert "parity-inert" in src[max(0, defn - 400):defn], needle
+
+    def test_bad_dtype_strings_raise(self):
+        from nopesac_tpu.engine.trainer import _resolve_dtype_cfg
+
+        with pytest.raises(ValueError, match="BACKBONE_TRAIN_DTYPE"):
+            _resolve_dtype_cfg("bf16", "BACKBONE_TRAIN_DTYPE")
+        with pytest.raises(ValueError, match="COMPUTE_DTYPE"):
+            _resolve_dtype_cfg("fp32", "COMPUTE_DTYPE")
+        import jax.numpy as jnp
+
+        assert _resolve_dtype_cfg("bfloat16", "X") == jnp.bfloat16
+        assert _resolve_dtype_cfg("float32", "X") == jnp.float32

@@ -104,6 +104,77 @@ class TestEvalSlice:
         assert "depth_l1_dist" in results
         assert np.isfinite(results["depth_l1_dist"])
 
+    def test_sp_topcam_substitution(self, tmp_path):
+        """INFERENCE_SP_TOPCAM_ON: the initial camera must come from the
+        SparsePlanes pickle keyed "<image_id1>-<image_id2>" (reference
+        camera_head.py:44-59, 419-431), normalized + sign-canonicalised, with
+        the PixelCameraHead bypassed. Injecting each pair's GT pose makes
+        camera_init exactly recoverable from the written predictions."""
+        from nopesac_tpu.engine.trainer import Trainer
+
+        data = make_dataset(n_pairs=2, n_planes=4, h=H, w=W, seed=7)
+        sp = {}
+        for d in data:
+            key = d["0"]["image_id"] + "-" + d["1"]["image_id"]
+            # negate one quaternion so the sign canonicalization (q0 >= 0)
+            # is exercised, matching the reference's flip at :427-428
+            q = -np.asarray(d["rel_pose"]["rotation"], np.float32)
+            sp[key] = {"position": np.asarray(d["rel_pose"]["position"],
+                                              np.float32),
+                       "rotation": q}
+        sp_path = tmp_path / "sp_top1.pkl"
+        with open(sp_path, "wb") as f:
+            pickle.dump(sp, f)
+
+        cfg = get_cfg()
+        cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+        cfg.MODEL.EMBEDDING_ON = True
+        cfg.MODEL.CAMERA_ON = True
+        cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_ON = True
+        cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_PATH = str(sp_path)
+        cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+        cfg.TEST.EVAL_FULL_SCENE = True
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.OUTPUT_DIR = str(tmp_path / "topcam_out")
+        cfg.freeze()
+        trainer = Trainer(cfg, image_hw=(H, W))
+        results = trainer.test(dataset_list=data)
+        assert "R median err" in results
+
+        import torch
+
+        preds = torch.load(
+            os.path.join(cfg.OUTPUT_DIR, "NopeSAC_instances_predictions.pth"),
+            weights_only=False)
+        for p, d in zip(preds, data):
+            got = p["camera_init"]["pred"]
+            want_q = np.asarray(d["rel_pose"]["rotation"], np.float32)
+            want_q /= np.linalg.norm(want_q)
+            if want_q[0] < 0:
+                want_q = -want_q
+            np.testing.assert_allclose(got["rot"], want_q, atol=1e-5)
+            np.testing.assert_allclose(
+                got["tran"], np.asarray(d["rel_pose"]["position"], np.float32),
+                atol=1e-5)
+
+        # CAM_REC_ON off must be rejected (reference asserts,
+        # camera_head.py:469)
+        cfg2 = get_cfg()
+        cfg2.MODEL.EMBEDDING_ON = True
+        cfg2.MODEL.CAMERA_ON = True
+        cfg2.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+        cfg2.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_ON = True
+        cfg2.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_PATH = str(sp_path)
+        cfg2.OUTPUT_DIR = str(tmp_path / "topcam_bad")
+        cfg2.freeze()
+        t2 = Trainer(cfg2, image_hw=(H, W))
+        with pytest.raises(ValueError, match="CAM_REC_ON"):
+            t2.test(dataset_list=data)
+
     def test_vis_cli_consumes_artifacts(self, trainer, tiny_cfg, tmp_path):
         """vis_NopeSAC renders every artifact family from the freshly
         written .pth/.pkl contract (depends on test_inference_eval_and_
