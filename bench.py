@@ -106,6 +106,17 @@ def main():
         print(f"[bench] inference section FAILED: {_errstr(e)}",
               file=sys.stderr, flush=True)
 
+    # end-to-end pipeline (device + host postprocess overlapped) — TPU only:
+    # the 480x640 eval compile is pointless on the CPU fallback
+    pipe_stats = {}
+    if not FELL_BACK_TO_CPU:
+        try:
+            pipe_stats = bench_pipeline()
+        except Exception as e:
+            errors["pipeline_error"] = _errstr(e)
+            print(f"[bench] pipeline section FAILED: {_errstr(e)}",
+                  file=sys.stderr, flush=True)
+
     # the full train-step bench needs a ~20-min cold XLA compile on the
     # 1-core host - skip it on CPU fallback, keep the host-side loader bench
     train_stats = {}
@@ -155,6 +166,7 @@ def main():
             out["reference_cpu_measured_pairs_per_sec"] = rj.get("value")
         except (ValueError, OSError):
             pass
+    out.update(pipe_stats)
     out.update(train_stats)
     # host cores needed to feed eval at the measured device rate (the 1-core
     # box ceiling is documented in bench_loader's docstring)
@@ -162,6 +174,13 @@ def main():
     if per_core and pairs_per_sec:
         out["loader_cores_needed_for_device_rate"] = round(
             pairs_per_sec / per_core, 1)
+    # host cores needed for the whole pipeline to reach the device-only rate:
+    # pipeline host half consumes (1/pipeline - 1/device) s/pair of host time
+    pipe = pipe_stats.get("pipeline_pairs_per_sec")
+    if pipe and pairs_per_sec and pipe < pairs_per_sec:
+        host_s_per_pair = 1.0 / pipe - 1.0 / pairs_per_sec
+        out["pipeline_host_cores_for_device_rate"] = round(
+            host_s_per_pair * pairs_per_sec + 1, 1)
     out.update(errors)
     print(json.dumps(out))
 
@@ -254,6 +273,55 @@ def bench_inference():
     # cache at .jax_cache makes warm runs fast; cold = full XLA compile)
     return {"pairs_per_sec": pairs_per_sec,
             "compile_warmup_s": round(infer_compile_s, 1)}
+
+
+def bench_pipeline(n_pairs: int = 64, bs: int = 8, h: int = 480, w: int = 640):
+    """End-to-end inference pipeline rate through the PRODUCTION
+    test_NopeSAC.py path: host mapping -> batched device inference -> host
+    postprocess (RLE, instance assembly) -> evaluator accumulation, with the
+    one-step software pipeline in trainer.test() overlapping host and device
+    halves. The device-only headline above excludes this host side; the
+    reference's inference includes it (siamese_planeTR.py:625-803), so this
+    is the honest whole-pipeline number (round-5 verdict item 2)."""
+    import shutil
+    import tempfile
+
+    from nopesac_tpu.config.config import get_cfg
+    from nopesac_tpu.data.synthetic import make_dataset
+    from nopesac_tpu.engine.trainer import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        cfg = get_cfg()
+        cfg.MODEL.EMBEDDING_ON = True
+        cfg.MODEL.CAMERA_ON = True
+        cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+        cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+        cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+        cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+        cfg.MODEL.COMPUTE_DTYPE = "bfloat16"
+        cfg.TEST.IMS_PER_BATCH = bs
+        cfg.OUTPUT_DIR = tmp
+        cfg.freeze()
+        trainer = Trainer(cfg, image_hw=(h, w), training=False)
+        # warm: compiles the eval_step jit on a 1-batch dataset
+        warm = make_dataset(n_pairs=bs, n_planes=6, h=h, w=w, seed=11)
+        t0 = time.time()
+        trainer.test(dataset_list=warm)
+        _t("pipeline compile + warmup", t0)
+        data = make_dataset(n_pairs=n_pairs, n_planes=6, h=h, w=w, seed=12)
+        trainer.test(dataset_list=data)
+        stats = trainer.last_eval_stats
+        rate = stats["pairs_per_sec"]
+        print(f"[bench] pipeline: {rate:.1f} pairs/s end-to-end "
+              f"({stats['pairs']} pairs in {stats['seconds']:.1f}s, bs={bs})",
+              file=sys.stderr, flush=True)
+        return {"pipeline_pairs_per_sec": rate,
+                "pipeline_pairs": stats["pairs"],
+                "pipeline_batch": bs}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,

@@ -2,12 +2,22 @@
 
 Replaces detectron2's build_detection_{train,test}_loader
 (train_NopeSAC.py:73-85): pairs are mapped to fixed-shape numpy samples
-either in the producer thread (num_workers=0) or in a fork-based
+either in the producer thread (num_workers=0) or in a spawn-based
 multiprocessing pool (num_workers>0, the DATALOADER.NUM_WORKERS semantics
 of the reference Base.yaml:30 - PIL decode + RLE + mask rasterisation are
 GIL-bound, so real hosts want processes). Collated batches are prefetched
 through a bounded queue. Multi-host: each process takes a strided shard of
 the dataset (index % num_shards == shard_id), like d2's per-rank sampler.
+
+Pool transport (round 5): mapped samples are ~10 MB of fixed-shape arrays
+each (two f32 images + bit-packed masks); returning them through the pool's
+pickle pipe made 4 workers 5x SLOWER than serial (BENCH_r04:
+9.8 vs 52 pairs/s — every byte was pickled, piped and unpickled). Workers
+now write arrays straight into a pre-allocated SharedMemory slab ring (one
+slot per batch index, zero-copy for the consumer, which views the slab while
+collate stacks) and return only a tiny (slot, descriptor, small-objects)
+tuple. The pool uses the spawn context: fork from the (jax-)multithreaded
+parent risks deadlock on inherited locks and warns on 3.12+.
 """
 from __future__ import annotations
 
@@ -19,21 +29,72 @@ import numpy as np
 
 from .mapper import collate
 
-# fork-pool worker state: the mapper is shipped ONCE via the pool
-# initializer (inherited memory at fork), not pickled per map call — per-call
-# pickling both costs (the mapper holds the k_inv_dot_xy1 ray map) and
-# FREEZES the mapper's augmentation RNG (the parent's state never advances)
+# pool worker state, set once by the initializer (spawn: shipped pickled)
 _WORKER_MAPPER = None
+_WORKER_DATASET = None
+_WORKER_SHM = None
+_WORKER_SLOT_BYTES = 0
+
+# arrays at or above this size travel via shared memory; smaller values
+# (scalars, tiny vectors, meta dicts) ride the regular result pickle
+_SHM_MIN_BYTES = 4096
 
 
-def _init_worker(mapper):
-    global _WORKER_MAPPER
+def _init_worker(mapper, dataset, shm_name, slot_bytes):
+    global _WORKER_MAPPER, _WORKER_DATASET, _WORKER_SHM, _WORKER_SLOT_BYTES
     _WORKER_MAPPER = mapper
+    _WORKER_DATASET = dataset
+    _WORKER_SLOT_BYTES = slot_bytes
+    if shm_name is not None:
+        from multiprocessing import shared_memory
+
+        # attach-time registration with the (inherited, shared) resource
+        # tracker is idempotent — the tracker cache is a set — and the
+        # parent's unlink unregisters exactly once, so no unregister hack
+        _WORKER_SHM = shared_memory.SharedMemory(name=shm_name)
+
+
+def _flatten_sample(sample):
+    """-> [(path, value)] with path = (key,) or (key, subkey)."""
+    out = []
+    for k, v in sample.items():
+        if isinstance(v, dict) and k != "meta":
+            for sk, sv in v.items():
+                out.append(((k, sk), sv))
+        else:
+            out.append(((k,), v))
+    return out
 
 
 def _map_item(args):
-    pair, seed = args
-    return _WORKER_MAPPER(pair, aug_seed=seed)
+    # (dataset index, seed, slot): the pair dict itself never crosses the
+    # pipe — real datasets' pair dicts are small (paths), but synthetic /
+    # obs-pickle datasets embed MB-scale depth maps per entry
+    idx, seed, slot = args
+    sample = _WORKER_MAPPER(_WORKER_DATASET[idx], aug_seed=seed)
+    if _WORKER_SHM is None:
+        return sample
+    base = slot * _WORKER_SLOT_BYTES
+    off = 0
+    descrs = []
+    small = []
+    for path, v in _flatten_sample(sample):
+        if (isinstance(v, np.ndarray) and v.nbytes >= _SHM_MIN_BYTES
+                and v.dtype != object):
+            nbytes = int(v.nbytes)
+            if off + nbytes > _WORKER_SLOT_BYTES:
+                raise ValueError(
+                    f"shm slot overflow at {path}: need {off + nbytes} > "
+                    f"slot {_WORKER_SLOT_BYTES} bytes (sample shapes grew "
+                    "beyond the construction-time probe)")
+            dst = np.ndarray(v.shape, v.dtype, buffer=_WORKER_SHM.buf,
+                             offset=base + off)
+            np.copyto(dst, v)
+            descrs.append((path, v.shape, v.dtype.str, off))
+            off += nbytes
+        else:
+            small.append((path, v))
+    return (slot, descrs, small)
 
 
 class _LoaderClosed(Exception):
@@ -65,30 +126,69 @@ class PairLoader:
         self.infinite = infinite
         self.num_workers = num_workers
         self._pool = None
+        self._shm = None
+        self._slot_bytes = 0
         self._closing = False  # close() racing a live producer thread
         self._item_counter = 0  # monotone per-sample augmentation seed base
-        if num_workers > 0:
+        if num_workers > 0 and len(self.dataset):
             import multiprocessing as mp
+            from multiprocessing import shared_memory
 
-            # fork: the mapper + dataset are inherited; only (pair, seed)
-            # tuples travel per item. Forked HERE, from the main thread at
-            # construction, not lazily from the producer thread - fork()
-            # from a multi-threaded process can deadlock/abort the children
-            # on inherited locks (jax/XLA spin up many threads).
-            self._pool = mp.get_context("fork").Pool(
-                num_workers, initializer=_init_worker, initargs=(mapper,))
+            # size the slab from one probed sample: fixed-shape design means
+            # every mapped sample has identical array footprint; 25% + 64 KiB
+            # headroom absorbs small metadata-driven variation, and workers
+            # raise (not corrupt) on overflow
+            probe = mapper(self.dataset[0], aug_seed=self.seed * 1_000_003 - 1)
+            arr_bytes = sum(
+                int(v.nbytes) for _, v in _flatten_sample(probe)
+                if isinstance(v, np.ndarray) and v.nbytes >= _SHM_MIN_BYTES
+                and v.dtype != object)
+            self._slot_bytes = -(-(int(arr_bytes * 1.25) + 65536) // 4096) * 4096
+            self._shm = shared_memory.SharedMemory(
+                create=True, size=max(1, self._slot_bytes * batch_size))
+            # spawn (not fork): the parent is jax-multithreaded by the time
+            # loaders exist, and fork() under threads both warns on 3.12+
+            # and can deadlock children on inherited locks. The mapper is
+            # pickled once into each worker via the initializer.
+            self._pool = mp.get_context("spawn").Pool(
+                num_workers, initializer=_init_worker,
+                initargs=(mapper, self.dataset, self._shm.name,
+                          self._slot_bytes))
+
+    def _rebuild(self, ret) -> dict:
+        """(slot, descrs, small) -> sample dict with zero-copy slab views."""
+        slot, descrs, small = ret
+        sample: dict = {}
+
+        def put(path, v):
+            if len(path) == 1:
+                sample[path[0]] = v
+            else:
+                sample.setdefault(path[0], {})[path[1]] = v
+
+        for path, v in small:
+            put(path, v)
+        base = slot * self._slot_bytes
+        for path, shape, dtype, off in descrs:
+            put(path, np.ndarray(shape, np.dtype(dtype),
+                                 buffer=self._shm.buf, offset=base + off))
+        return sample
 
     def _map_chunk(self, chunk) -> list:
-        items = [self.dataset[i] for i in chunk]
         # explicit per-sample seeds: deterministic given (loader seed, item
         # order), identical semantics in both the pool and in-line paths
         seeds = [self.seed * 1_000_003 + self._item_counter + k
-                 for k in range(len(items))]
-        self._item_counter += len(items)
+                 for k in range(len(chunk))]
+        self._item_counter += len(chunk)
         pool = self._pool
         if pool is not None:
             try:
-                return pool.map(_map_item, list(zip(items, seeds)))
+                # slot i belongs to batch index i for this chunk only; the
+                # single producer thread collates (copying out of the slab)
+                # before the next _map_chunk reuses the slots
+                rets = pool.map(_map_item, list(zip(
+                    (int(i) for i in chunk), seeds, range(len(chunk)))))
+                return [self._rebuild(r) for r in rets]
             except ValueError:
                 # close() terminated the pool under a producer thread
                 # mid-epoch ("Pool not running"); surface as a clean stop
@@ -96,7 +196,8 @@ class PairLoader:
                 if self._closing or self._pool is None:
                     raise _LoaderClosed()
                 raise
-        return [self.mapper(d, aug_seed=s) for d, s in zip(items, seeds)]
+        return [self.mapper(self.dataset[i], aug_seed=s)
+                for i, s in zip(chunk, seeds)]
 
     def __len__(self):
         n = len(self.dataset)
@@ -164,6 +265,13 @@ class PairLoader:
         if self._pool is not None:
             self._pool.terminate()
             self._pool = None
+        if self._shm is not None:
+            try:
+                self._shm.close()
+                self._shm.unlink()
+            except Exception:
+                pass
+            self._shm = None
 
     def __del__(self):
         self.close()

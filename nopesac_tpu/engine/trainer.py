@@ -576,6 +576,7 @@ class Trainer:
         # evaluator (mp3d_evaluation.py:62) and never reads it again.
         debug_camera = bool(cfg.get("DEBUG_CAMERA_ON", False))
         debug_iter = 0
+        t_loop0 = time.perf_counter()
         for lo in range(0, len(dataset_list), bs):
             chunk = dataset_list[lo: lo + bs]
             debug_iter += 1
@@ -611,4 +612,16 @@ class Trainer:
             pending = (chunk, [s["meta"] for s in samples], fut)
         if pending is not None:
             _drain(pending)
+        # end-to-end pipeline rate over the inference loop: host mapping +
+        # device compute + host postprocess (RLE, instance assembly, metric
+        # accumulation), overlapped by the one-step software pipeline above.
+        # Excludes evaluate()'s one-time epilogue and, on a warm trainer
+        # (cached eval_step jit), compile. bench.py reports this as
+        # pipeline_pairs_per_sec (round-5 verdict item 2).
+        t_loop = time.perf_counter() - t_loop0
+        self.last_eval_stats = {
+            "pairs": len(dataset_list),
+            "seconds": round(t_loop, 3),
+            "pairs_per_sec": round(len(dataset_list) / max(t_loop, 1e-9), 2),
+        }
         return evaluator.evaluate()

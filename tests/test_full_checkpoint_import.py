@@ -33,6 +33,9 @@ import torch
 
 import refstubs  # noqa: F401  (installs d2 shims + puts /root/reference on sys.path)
 
+# slowest fixture in the suite (480x640 CPU compile); default run skips it
+pytestmark = pytest.mark.slow
+
 from nopesac_tpu.config.config import get_cfg
 from nopesac_tpu.data.synthetic import make_dataset
 

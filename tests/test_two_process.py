@@ -12,6 +12,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# spawns two full jax.distributed processes (minutes of CPU compile);
+# default run skips it — `pytest -m slow` covers it
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -50,3 +56,48 @@ def test_two_process_train_step_and_host_gather(tmp_path):
     assert all(r["ok"] for r in results)
     assert results[0]["total_loss"] == results[1]["total_loss"]
     assert results[0]["step"] == 1
+
+
+def test_two_process_midtrain_eval(tmp_path):
+    """Mid-train TEST.EVAL_PERIOD eval under 2 processes: the global-mesh
+    train state must be re-homed onto a process-local mesh for the per-host
+    eval slices (the round-4 advisor bug silently no-op'd here), the train
+    loop's swallow-exceptions guard must not hide a failure (asserted via
+    the metrics.json eval row), and host_gather must hand both ranks
+    identical merged metrics."""
+    port = _free_port()
+    outs = [tmp_path / f"out{i}.json" for i in range(2)]
+    shared = tmp_path / "train_out"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "two_process_worker.py"),
+             str(i), str(port), str(outs[i]), "trainer", str(shared)],
+            env=env, cwd=os.path.dirname(HERE),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=2700)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"worker {i} rc={p.returncode}:\n{logs[i][-4000:]}")
+        assert "eval failed" not in logs[i], logs[i][-4000:]
+    results = [json.load(open(o)) for o in outs]
+    assert all(r["ok"] for r in results)
+    # merged metrics must agree across ranks exactly (same gathered set)
+    for key in ("r_median", "t_median", "mask_ap"):
+        assert results[0][key] == results[1][key], (key, results)
+    # rank 0 wrote the mid-train eval row into metrics.json
+    rows = [json.loads(l) for l in open(shared / "metrics.json")]
+    eval_rows = [r for r in rows if "eval" in r]
+    assert eval_rows, rows
+    assert any("R median err" in r["eval"] for r in eval_rows), eval_rows

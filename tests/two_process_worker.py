@@ -11,7 +11,12 @@ mp3d_evaluation.py:317-319):
      (parallel/mesh.py shard_batch -> make_array_from_process_local_data);
   3. replicated-output agreement: both hosts must fetch the identical loss.
 
-Launched by the test with: python two_process_worker.py <pid> <port> <out>.
+Launched by the test with: python two_process_worker.py <pid> <port> <out>
+[mode [shared_out_dir]].  mode "step" (default) runs the three phases above;
+mode "trainer" runs the full Trainer with TEST.EVAL_PERIOD=1 so the
+MID-TRAIN eval path executes under 2 processes — the state lives on the
+global cross-process mesh and test() must re-home it onto a process-local
+mesh (trainer.py re-homing; round-4 advisor bug, round-5 verdict item 5).
 """
 import json
 import os
@@ -20,6 +25,7 @@ import sys
 
 def main() -> None:
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -57,6 +63,10 @@ def main() -> None:
     assert jax.process_count() == 2
     assert jax.device_count() == 4, jax.devices()
     assert jax.local_device_count() == 2
+
+    if mode == "trainer":
+        _trainer_mode(pid, out_path, sys.argv[5])
+        return
 
     import numpy as np
     import jax.numpy as jnp
@@ -140,6 +150,50 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump({"ok": True, "total_loss": total,
                    "step": int(state.step)}, f)
+
+
+def _trainer_mode(pid: int, out_path: str, out_dir: str) -> None:
+    """Full Trainer under 2 processes with TEST.EVAL_PERIOD=1: one global-mesh
+    train step, then the mid-train eval (global-mesh state re-homed onto a
+    process-local mesh, per-host dataset slice, host_gather metric merge)."""
+    import nopesac_tpu.data.datasets  # noqa: F401  (registers synthetic)
+    from nopesac_tpu.config.config import get_cfg
+    from nopesac_tpu.engine.trainer import Trainer
+
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = ("synthetic_train",)
+    cfg.DATASETS.TEST = ("synthetic_test",)
+    cfg.MODEL.EMBEDDING_ON = True
+    cfg.MODEL.CAMERA_ON = True
+    cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+    cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+    cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES = 16
+    cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+    cfg.SOLVER.IMS_PER_BATCH = 4   # 2 per host over the 4-device global mesh
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 100
+    cfg.TEST.EVAL_PERIOD = 1       # fire the mid-train eval on step 1
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.OUTPUT_DIR = out_dir       # shared: rank 0 alone writes artifacts
+    cfg.freeze()
+
+    trainer = Trainer(cfg, image_hw=(96, 128))
+    trainer.train()
+
+    # the mid-train eval row must exist (rank 0 writes it; an eval failure
+    # is swallowed by the train loop's try/except, so its absence IS the
+    # regression signal) — checked by the parent test on rank 0's files.
+    # Both ranks also run test() directly: the evaluator's host_gather merge
+    # must hand BOTH processes identical merged metrics.
+    res = trainer.test()
+    with open(out_path, "w") as f:
+        json.dump({"ok": True,
+                   "r_median": float(res["R median err"]),
+                   "t_median": float(res["T median err"]),
+                   "mask_ap": float(res["mask_ap@0.5"])}, f)
 
 
 if __name__ == "__main__":
