@@ -121,13 +121,14 @@ def main():
     # 1-core host - skip it on CPU fallback, keep the host-side loader bench
     train_stats = {}
     if not FELL_BACK_TO_CPU:
-        # bf16 compute (f32 master weights for the detection pathway) is the
-        # production train path; both run at the reference's real batch size
-        # (SOLVER.IMS_PER_BATCH: 16, train_mp3d_step1.yaml) now that the
-        # backbone remats in train mode
+        # bf16 compute (f32 master weights for the detection pathway) +
+        # bf16 backbone block interiors is the production train path (the
+        # shipped step configs' precision policy; convergence A/B in
+        # PERF.md round 5); both rows run at the reference's real batch
+        # size (SOLVER.IMS_PER_BATCH: 16, train_mp3d_step1.yaml)
         for kw in (
             dict(batch_size=16, compute_dtype="bfloat16",
-                 key_prefix="train_bf16_"),
+                 backbone_train_dtype="bfloat16", key_prefix="train_bf16_"),
             dict(batch_size=16, key_prefix="train_"),
         ):
             try:
@@ -325,12 +326,15 @@ def bench_pipeline(n_pairs: int = 64, bs: int = 8, h: int = 480, w: int = 640):
 
 
 def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
-                     compute_dtype: str = None, key_prefix: str = "train_"):
+                     compute_dtype: str = None, key_prefix: str = "train_",
+                     backbone_train_dtype: str = None):
     """Train-step throughput at the real training shapes (full loss zoo:
     detection + matching + 5-branch camera refine), plus an MFU estimate
     from XLA's own cost analysis. Returns a dict of extras for the bench
     JSON line. compute_dtype="bfloat16" benches the bf16-compute /
-    f32-master-weights path (MODEL.COMPUTE_DTYPE)."""
+    f32-master-weights path (MODEL.COMPUTE_DTYPE);
+    backbone_train_dtype="bfloat16" additionally rounds backbone block
+    interiors to bf16 (MODEL.BACKBONE_TRAIN_DTYPE, resnet.py policy note)."""
     import jax
     import jax.numpy as jnp
 
@@ -360,6 +364,8 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
     cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
     if compute_dtype:
         cfg.MODEL.COMPUTE_DTYPE = compute_dtype
+    if backbone_train_dtype:
+        cfg.MODEL.BACKBONE_TRAIN_DTYPE = backbone_train_dtype
 
     model = build_model_from_cfg(cfg)
     data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)
