@@ -183,6 +183,11 @@ def get_cfg() -> CfgNode:
     # accumulation stay f32 — the trunk is where the DETR query-
     # distinguishing signal lives; see models/resnet.py + PERF.md A/B)
     c.MODEL.BACKBONE_TRAIN_DTYPE = "float32"
+    # train-mode FPN / pixel-path dtype (models/plane_head.py px_dtype):
+    # "float32" default; "bfloat16" is the round-5 island re-test — the
+    # f32 pin predates the mixed-precision backbone (convergence A/B in
+    # PERF.md decides whether this island can fall)
+    c.MODEL.FPN_TRAIN_DTYPE = "float32"
     # train-mode backbone rematerialisation (activation checkpointing):
     # trades ~+11% train FLOPs for the HBM needed to fit IMS_PER_BATCH=16
     # (the reference's training batch) on a single v5e chip

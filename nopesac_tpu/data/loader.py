@@ -144,8 +144,11 @@ class PairLoader:
                 if isinstance(v, np.ndarray) and v.nbytes >= _SHM_MIN_BYTES
                 and v.dtype != object)
             self._slot_bytes = -(-(int(arr_bytes * 1.25) + 65536) // 4096) * 4096
+            # 2x batch_size slots: the producer double-buffers (workers map
+            # chunk b+1 while the parent collates chunk b), so two chunks'
+            # slots are live at once, on alternating parities
             self._shm = shared_memory.SharedMemory(
-                create=True, size=max(1, self._slot_bytes * batch_size))
+                create=True, size=max(1, self._slot_bytes * batch_size * 2))
             # spawn (not fork): the parent is jax-multithreaded by the time
             # loaders exist, and fork() under threads both warns on 3.12+
             # and can deadlock children on inherited locks. The mapper is
@@ -174,30 +177,48 @@ class PairLoader:
                                  buffer=self._shm.buf, offset=base + off))
         return sample
 
-    def _map_chunk(self, chunk) -> list:
+    def _start_chunk(self, chunk, parity: int):
+        """Dispatch a chunk. Pool path: non-blocking map_async writing into
+        the `parity` half of the slot ring; inline path: maps immediately."""
         # explicit per-sample seeds: deterministic given (loader seed, item
         # order), identical semantics in both the pool and in-line paths
         seeds = [self.seed * 1_000_003 + self._item_counter + k
                  for k in range(len(chunk))]
         self._item_counter += len(chunk)
         pool = self._pool
-        if pool is not None:
-            try:
-                # slot i belongs to batch index i for this chunk only; the
-                # single producer thread collates (copying out of the slab)
-                # before the next _map_chunk reuses the slots
-                rets = pool.map(_map_item, list(zip(
-                    (int(i) for i in chunk), seeds, range(len(chunk)))))
-                return [self._rebuild(r) for r in rets]
-            except ValueError:
-                # close() terminated the pool under a producer thread
-                # mid-epoch ("Pool not running"); surface as a clean stop
-                # instead of an unraisable thread exception
-                if self._closing or self._pool is None:
-                    raise _LoaderClosed()
-                raise
-        return [self.mapper(self.dataset[i], aug_seed=s)
-                for i, s in zip(chunk, seeds)]
+        if pool is None:
+            return [self.mapper(self.dataset[i], aug_seed=s)
+                    for i, s in zip(chunk, seeds)]
+        base = parity * self.batch_size
+        try:
+            return pool.map_async(_map_item, list(zip(
+                (int(i) for i in chunk), seeds,
+                range(base, base + len(chunk)))))
+        except ValueError:
+            # close() terminated the pool under a producer thread mid-epoch
+            # ("Pool not running"); surface as a clean stop instead of an
+            # unraisable thread exception
+            if self._closing or self._pool is None:
+                raise _LoaderClosed()
+            raise
+
+    def _finish_chunk(self, started) -> list:
+        """Counterpart of _start_chunk: resolve to a list of samples (slab
+        views for the pool path — the caller must collate/copy them before
+        this parity's slots are dispatched again)."""
+        if isinstance(started, list):
+            return started
+        try:
+            rets = started.get()
+        except ValueError:
+            if self._closing or self._pool is None:
+                raise _LoaderClosed()
+            raise
+        return [self._rebuild(r) for r in rets]
+
+    def _map_chunk(self, chunk) -> list:
+        """Synchronous convenience (tests / external callers)."""
+        return self._finish_chunk(self._start_chunk(chunk, 0))
 
     def __len__(self):
         n = len(self.dataset)
@@ -211,10 +232,26 @@ class PairLoader:
         return idx
 
     def _produce(self, q: "queue.Queue", stop: threading.Event):
+        def _put(batch) -> bool:
+            # bounded put that honours stop: a consumer that abandons
+            # the iterator (e.g. train() breaking at max_iter) would
+            # otherwise leave this thread blocked in q.put forever,
+            # pinning prefetch+1 collated batches
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         epoch = 0
         while not stop.is_set():
             idx = self._epoch_indices(epoch)
             nb = len(self)
+            # double-buffered: chunk b+1 maps in the workers while this
+            # thread rebuilds/collates chunk b out of the other slot parity
+            pending = None
             for b in range(nb):
                 if stop.is_set():
                     return
@@ -223,19 +260,20 @@ class PairLoader:
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
                 try:
-                    batch = collate(self._map_chunk(chunk))
+                    started = self._start_chunk(chunk, b % 2)
+                    if pending is not None:
+                        if not _put(collate(self._finish_chunk(pending))):
+                            return
+                    pending = started
                 except _LoaderClosed:
                     return
-                # bounded put that honours stop: a consumer that abandons
-                # the iterator (e.g. train() breaking at max_iter) would
-                # otherwise leave this thread blocked in q.put forever,
-                # pinning prefetch+1 collated batches
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+            if pending is not None:
+                try:
+                    batch = collate(self._finish_chunk(pending))
+                except _LoaderClosed:
+                    return
+                if not _put(batch):
+                    return
             if not self.infinite:
                 while not stop.is_set():
                     try:

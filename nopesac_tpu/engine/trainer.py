@@ -127,6 +127,8 @@ def build_model_from_cfg(cfg: CfgNode, dtype=None) -> PlaneTRNopeSAC:
         backbone_train_dtype=_resolve_dtype_cfg(
             cfg.MODEL.get("BACKBONE_TRAIN_DTYPE", "float32"),
             "BACKBONE_TRAIN_DTYPE"),
+        fpn_train_dtype=_resolve_dtype_cfg(
+            cfg.MODEL.get("FPN_TRAIN_DTYPE", "float32"), "FPN_TRAIN_DTYPE"),
         loss_detection_on=cfg.MODEL.LOSS_DETECTION_ON,
         loss_camera_on=cfg.MODEL.LOSS_CAMERA_ON,
         loss_matching_on=cfg.MODEL.LOSS_EMB_ON,

@@ -70,6 +70,7 @@ class PlaneTRNopeSAC(nn.Module):
     # train-mode backbone block-interior dtype (MODEL.BACKBONE_TRAIN_DTYPE).
     # The residual trunk stays f32 either way — see resnet.py's policy note.
     backbone_train_dtype: Dtype = jnp.float32
+    fpn_train_dtype: Dtype = jnp.float32  # MODEL.FPN_TRAIN_DTYPE (plane_head)
 
     # ---- training switches & loss weights (config.py / train yamls) ----
     loss_detection_on: bool = True
@@ -100,6 +101,7 @@ class PlaneTRNopeSAC(nn.Module):
             depth_on=self.depth_on,
             dropout=self.transformer_dropout,
             dtype=self.dtype,
+            fpn_train_dtype=self.fpn_train_dtype,
             axis_name=self.axis_name,
         )
         if self.embedding_on:

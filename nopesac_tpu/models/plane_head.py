@@ -62,6 +62,12 @@ class PlaneTRHead(nn.Module):
     num_aux: int = 3  # decoder intermediates kept (hs[-3:], planeTR_head.py:140)
     dropout: float = 0.1  # transformer dropout (reference transformer.py default)
     dtype: Dtype = jnp.float32
+    # TRAIN-mode dtype of the FPN / pixel path (MODEL.FPN_TRAIN_DTYPE). The
+    # round-3 bisection that pinned px_dtype to f32 ran against a fully-bf16
+    # backbone; with the round-5 backbone policy (bf16 interiors, f32 trunk)
+    # the pixel side's rounding is spatial — not query-distinguishing — so
+    # this knob re-tests it independently. Convergence A/B: PERF.md round 5.
+    fpn_train_dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
@@ -81,10 +87,12 @@ class PlaneTRHead(nn.Module):
         # center costs resolved below bf16's 2^-8 relative rounding; with a
         # bf16 FPN the whole model plateaus at uniform logits (CE = ln 2,
         # query-feature spread ~5e-4 after 1600 steps — measured, see
-        # git history for the three-step bisection). At inference there are
-        # no assignment dynamics, so the conv-heavy path keeps the bf16 MXU
-        # rate (validated: full-pipeline parity + 367 pairs/s/chip).
-        px_dtype = jnp.float32 if train else self.dtype
+        # git history for the three-step bisection; that bisection predates
+        # the mixed-precision backbone and is re-tested via fpn_train_dtype
+        # above). At inference there are no assignment dynamics, so the
+        # conv-heavy path keeps the bf16 MXU rate (validated: full-pipeline
+        # parity + 367 pairs/s/chip).
+        px_dtype = self.fpn_train_dtype if train else self.dtype
         pos = sine_position_embedding(hc, wc, self.hidden_dim // 2, dtype=head_dtype)
         pos = jnp.broadcast_to(pos[None], (b, hc * wc, self.hidden_dim))
 

@@ -56,6 +56,10 @@ class TestEvalSlice:
         # matching metrics
         assert "precision" in results and "recall" in results
 
+        # pipeline stats recorded for bench.py's end-to-end rate section
+        stats = trainer.last_eval_stats
+        assert stats["pairs"] == 2 and stats["pairs_per_sec"] > 0
+
         # artifact contract (mp3d_evaluation.py:331-342)
         out = tiny_cfg.OUTPUT_DIR
         pth = os.path.join(out, "NopeSAC_instances_predictions.pth")
