@@ -327,7 +327,8 @@ def bench_pipeline(n_pairs: int = 64, bs: int = 8, h: int = 480, w: int = 640):
 
 def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
                      compute_dtype: str = None, key_prefix: str = "train_",
-                     backbone_train_dtype: str = None):
+                     backbone_train_dtype: str = None,
+                     fpn_train_dtype: str = None):
     """Train-step throughput at the real training shapes (full loss zoo:
     detection + matching + 5-branch camera refine), plus an MFU estimate
     from XLA's own cost analysis. Returns a dict of extras for the bench
@@ -366,6 +367,8 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
         cfg.MODEL.COMPUTE_DTYPE = compute_dtype
     if backbone_train_dtype:
         cfg.MODEL.BACKBONE_TRAIN_DTYPE = backbone_train_dtype
+    if fpn_train_dtype:
+        cfg.MODEL.FPN_TRAIN_DTYPE = fpn_train_dtype
 
     model = build_model_from_cfg(cfg)
     data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)
