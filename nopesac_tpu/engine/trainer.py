@@ -282,7 +282,13 @@ class Trainer:
 
         h, w = self.image_hw
         data = make_dataset(n_pairs=1, n_planes=4, h=h, w=w)
-        init_mapper = PairMapper(is_train=True, dataset_kind="mp3d", image_size=(h, w))
+        # num_queries MUST track the config: a probe batch padded to the
+        # default 50 slots crashes the matcher for any model with
+        # NUM_OBJECT_QUERIES != 50 (e.g. the ScanNet configs' 25 — caught by
+        # tests/test_two_process.py::test_two_process_midtrain_eval)
+        init_mapper = PairMapper(
+            is_train=True, dataset_kind="mp3d", image_size=(h, w),
+            num_queries=self.cfg.MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES)
         batch = collate([init_mapper(d) for d in data])
         batch.pop("meta", None)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)

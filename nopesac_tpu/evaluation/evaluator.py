@@ -158,14 +158,31 @@ class MP3DEvaluator:
         return out
 
     def evaluate(self) -> "OrderedDict":
+        """Gather per-host predictions, compute metrics on the main process
+        (reference: comm.gather + main-only evaluation,
+        mp3d_evaluation.py:317-319), then SHARE the result dict with every
+        process through one more gather. The share doubles as a barrier: an
+        early empty return on non-main ranks (the reference's shape) left
+        rank 0 computing AP/histograms for minutes while the other ranks
+        idled into jax.distributed's 5-minute shutdown barrier and the
+        coordination service killed the job (caught by
+        tests/test_two_process.py::test_two_process_midtrain_eval)."""
         predictions = self._predictions
         if self._distributed:
             from ..parallel.host_gather import all_gather_objects, is_main_process
 
             per_host = all_gather_objects(predictions)
             if not is_main_process():
-                return OrderedDict()
+                shared = all_gather_objects(None)[0]
+                self._results = shared or OrderedDict()
+                return self._results
             predictions = [p for host in per_host for p in host]
+            results = self._evaluate_main(predictions)
+            all_gather_objects(results)
+            return results
+        return self._evaluate_main(predictions)
+
+    def _evaluate_main(self, predictions) -> "OrderedDict":
         if not predictions:
             logger.warning("MP3DEvaluator received no predictions")
             return OrderedDict()
