@@ -369,6 +369,8 @@ def bench_train_step(batch_size: int = 8, h: int = 480, w: int = 640,
         cfg.MODEL.BACKBONE_TRAIN_DTYPE = backbone_train_dtype
     if fpn_train_dtype:
         cfg.MODEL.FPN_TRAIN_DTYPE = fpn_train_dtype
+    if os.environ.get("NOPESAC_BENCH_NO_REMAT"):
+        cfg.MODEL.REMAT = False
 
     model = build_model_from_cfg(cfg)
     data = make_dataset(n_pairs=batch_size, n_planes=6, h=h, w=w)

@@ -28,14 +28,20 @@ class Checkpointer:
     def save(self, state: Any, step: int, name: Optional[str] = None) -> str:
         tag = name if name is not None else f"step_{step:08d}"
         path = os.path.join(self.dir, tag)
-        if jax.process_index() != 0:
-            # params/opt state are replicated; host 0 alone writes (a shared
-            # OUTPUT_DIR would otherwise race N identical writers)
-            return path
+        # EVERY process calls orbax save: under jax.distributed, orbax's
+        # save path issues internal cross-process sync barriers, so a
+        # "rank 0 alone writes" early return makes rank 0's barriers pair
+        # with the other ranks' NEXT unrelated collectives — silently
+        # desynchronising every later gather (observed as a hang + shutdown-
+        # barrier death in tests/test_two_process.py::test_two_process_
+        # midtrain_eval). Orbax itself coordinates so the primary host does
+        # the actual writing; the params/opt state are replicated, so each
+        # host contributes identical bytes.
         state_host = jax.device_get(state)
         self._ckptr.save(path, state_host, force=True)
-        with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
-            f.write(tag)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
+                f.write(tag)
         return path
 
     def latest(self) -> Optional[str]:

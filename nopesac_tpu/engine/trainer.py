@@ -314,7 +314,14 @@ class Trainer:
         # replicate onto the mesh NOW: the jitted step's inputs/outputs are
         # NamedSharding(mesh, P()); feeding a SingleDeviceSharding state on
         # the first call(s) makes jit compile a separate specialisation per
-        # placement (observed: the full train step compiled twice per run)
+        # placement (observed: the full train step compiled twice per run).
+        # Multi-host: this device_put is the program's FIRST cross-process
+        # collective (jax verifies replicated values agree), so bound the
+        # compile-time skew entering gloo's 30s clique-init window first.
+        if jax.process_count() > 1:
+            from ..parallel.mesh import coordination_barrier
+
+            coordination_barrier("init_state_device_put")
         self.state = jax.device_put(self.state, self._repl)
         self.train_step = jit_train_step(make_train_step(self.model, self.tx), self.mesh)
 
@@ -518,7 +525,14 @@ class Trainer:
             # not consume them downstream either — attachment parity only)
             eval_gt_box=bool(cfg.TEST.EVAL_GT_BOX),
         )
-        evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list)
+        # distributed=True under multi-host: each host processed only its
+        # dataset slice above, so evaluate() must host_gather the
+        # predictions and share the merged metrics (reference: per-rank
+        # test loader + comm.gather, mp3d_evaluation.py:317-319). Was
+        # silently False before round 5 — every host computed metrics on
+        # its own slice only (caught by the 2-process mid-train eval test).
+        evaluator = MP3DEvaluator(test_name, cfg, dataset_list=dataset_list,
+                                  distributed=jax.process_count() > 1)
         h, w = self.image_hw
 
         # GT-matcher pose refinement ablation (camera_head.py:520-547)

@@ -53,6 +53,35 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     )
 
 
+_BARRIER_SEQ = [0]
+
+
+def coordination_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Rendezvous all processes via the coordination service (pure gRPC — no
+    gloo/ICI collective, so no device-clique init behind it).
+
+    Use immediately before a program's FIRST device collective: gloo context
+    init has a hard ~30s KV-store timeout, while inter-host skew at that
+    point can be minutes (one host hits the persistent compile cache, the
+    other compiles — observed killing the 2-process mid-train-eval test at
+    Trainer._init_state's device_put onto the global mesh). The sequence
+    counter keeps barrier ids unique per call site visit; host code is SPMD
+    so every process sees the same sequence.
+    """
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        _BARRIER_SEQ[0] += 1
+        client.wait_at_barrier(f"nopesac_{name}_{_BARRIER_SEQ[0]}", timeout_ms)
+    except Exception:  # pragma: no cover - older jax layouts
+        from .host_gather import all_gather_objects
+
+        all_gather_objects(name)
+
+
 def staggered_compile(jitted, *args):
     """Compile `jitted(*args)` on every host, rank 0 first, with barriers.
 

@@ -180,8 +180,14 @@ def _trainer_mode(pid: int, out_path: str, out_dir: str) -> None:
     cfg.OUTPUT_DIR = out_dir       # shared: rank 0 alone writes artifacts
     cfg.freeze()
 
+    def mark(msg):
+        print(f"[worker {pid}] {msg}", flush=True)
+
+    mark("building trainer")
     trainer = Trainer(cfg, image_hw=(96, 128))
+    mark("trainer built; training")
     trainer.train()
+    mark("train done (incl. mid-train eval); running direct test()")
 
     # the mid-train eval row must exist (rank 0 writes it; an eval failure
     # is swallowed by the train loop's try/except, so its absence IS the
@@ -189,11 +195,19 @@ def _trainer_mode(pid: int, out_path: str, out_dir: str) -> None:
     # Both ranks also run test() directly: the evaluator's host_gather merge
     # must hand BOTH processes identical merged metrics.
     res = trainer.test()
+    mark("direct test done; writing result")
     with open(out_path, "w") as f:
         json.dump({"ok": True,
                    "r_median": float(res["R median err"]),
                    "t_median": float(res["T median err"]),
                    "mask_ap": float(res["mask_ap@0.5"])}, f)
+    # release the train loader's worker pool BEFORE interpreter teardown:
+    # a live spawn pool at exit makes this rank's shutdown minutes slower
+    # than its peer's (pool/semaphore cleanup), tripping jax.distributed's
+    # 5-minute shutdown barrier
+    if trainer._loader is not None:
+        trainer._loader.close()
+    mark("loader closed; exiting")
 
 
 if __name__ == "__main__":
