@@ -162,6 +162,18 @@ void rle_iou(const char* dts, const int64_t* dt_off, int64_t ndt,
   }
 }
 
+// raw run-lengths -> COCO LEB string; returns byte count. Lets the host
+// build per-query RLE straight from label-map runs (one pass over the
+// segmentation instead of one full mask encode per query).
+int64_t rle_runs_to_string(const int64_t* runs, int64_t n, char* out) {
+  std::vector<int64_t> cnts(runs, runs + n);
+  std::vector<char> buf;
+  buf.reserve(n * 4);
+  runs_to_string(cnts, buf);
+  std::copy(buf.begin(), buf.end(), out);
+  return static_cast<int64_t>(buf.size());
+}
+
 int64_t rle_area(const char* s, int64_t slen) {
   std::vector<int64_t> runs;
   string_to_runs(s, slen, runs);

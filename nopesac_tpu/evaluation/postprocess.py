@@ -34,22 +34,28 @@ def _compact_view(view_out: Dict, b: int, image_id: str, file_name: str,
     keep = np.nonzero(valid)[0]  # ascending original query order
     scores = np.asarray(view_out["score"][b])[keep]
     params = np.asarray(view_out["params"][b])[keep]
-    masks = masks_from_seg(np.asarray(view_out["seg_ids"][b]),
-                           np.asarray(view_out["gate"][b]),
-                           keep).astype(np.uint8)
     centers = np.asarray(view_out["centers"][b])[keep]
 
+    # per-query RLE straight from the gated argmax label map (one pass —
+    # no [K, H, W] masks; was 75% of the 88 ms/pair postprocess, PERF.md
+    # round 5). mask_q == (seg_ids == q) & gate == (seg_gated == q).
+    seg_gated = np.where(np.asarray(view_out["gate"][b]),
+                         np.asarray(view_out["seg_ids"][b]), -1)
+    rles = rle_util.encode_label_map(seg_gated, keep)
+
+    total = height * width
     instances = []
     for k in range(len(keep)):
-        m = masks[k]
-        if m.sum() == 0:
+        r = rles[k]
+        runs = r["_runs"]
+        if len(runs) == 1:
             # zero-detection fallback keeps a degenerate mask alive
-            # (siamese_planeTR.py:699-702)
-            m = m.copy()
-            m[0, 0] = 1
-            masks[k] = m
-        r = rle_util.encode(m)
-        bbox = rle_util.to_bbox(r).tolist()
+            # (siamese_planeTR.py:699-702): single on-pixel at (0, 0)
+            runs = np.asarray([0, 1, total - 1], np.int64)
+            r = {"size": r["size"],
+                 "counts": rle_util.counts_to_string(runs), "_runs": runs}
+            rles[k] = r
+        bbox = rle_util.to_bbox({"size": r["size"], "counts": runs}).tolist()
         instances.append({
             "image_id": image_id,
             "file_name": file_name,
@@ -66,7 +72,6 @@ def _compact_view(view_out: Dict, b: int, image_id: str, file_name: str,
         "instances": instances,
         "pred_plane": params,  # [n, 3] numpy
         "pred_plane_oriIdxs": keep.tolist(),
-        "pred_plane_masks": masks,
         "pred_plane_ins_center": centers,
         "_keep": keep,
     }

@@ -80,6 +80,13 @@ def _load():
             ]
             lib.rle_area.restype = ctypes.c_int64
             lib.rle_area.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            # optional (newer builds): raw runs -> COCO string
+            if hasattr(lib, "rle_runs_to_string"):
+                lib.rle_runs_to_string.restype = ctypes.c_int64
+                lib.rle_runs_to_string.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_char_p,
+                ]
             _LIB = lib
             return lib
     raise OSError("libnopesac_native.so not built")
@@ -131,3 +138,16 @@ def iou(dts: list, gts: list, h: int, w: int, iscrowd: np.ndarray) -> np.ndarray
 def area(counts: bytes) -> int:
     lib = _load()
     return int(lib.rle_area(counts, len(counts)))
+
+
+def runs_to_string(runs: np.ndarray):
+    """Raw run-length counts -> COCO LEB string bytes, or None when the
+    loaded library predates rle_runs_to_string."""
+    lib = _load()
+    if not hasattr(lib, "rle_runs_to_string"):
+        return None
+    r = np.ascontiguousarray(runs, dtype=np.int64)
+    out = ctypes.create_string_buffer(12 * max(len(r), 1) + 16)
+    n = lib.rle_runs_to_string(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(r), out)
+    return out.raw[:n]

@@ -248,3 +248,56 @@ def seg_to_mask(seg, h: int, w: int) -> np.ndarray:
     if isinstance(seg, dict):
         return decode(seg)
     return poly_to_mask(seg, h, w)
+
+
+def encode_label_map(labels: np.ndarray, query_ids: Sequence[int]) -> List[RLE]:
+    """Per-query COCO RLEs straight from an argmax label map — ONE pass.
+
+    labels: [H, W] int map (background = any id not in query_ids, e.g. -1);
+    returns, aligned with query_ids, the compressed RLE of each query's mask
+    (labels == q), byte-identical to encode((labels == q).astype(uint8)).
+
+    Rationale (round 5): the device emits a compact argmax segmentation
+    (PlaneTRNopeSAC.select_planes); rebuilding [K, H, W] boolean masks on
+    the host only to re-scan each one for runs was 75% of postprocess cost
+    (~88 ms/pair measured). Splitting the label map's own run-length
+    segments per query replaces K full-image scans with one diff + K small
+    gather/interleave passes.
+    """
+    h, w = labels.shape
+    flat = labels.T.reshape(-1)  # column-major, like the COCO codec
+    total = flat.size
+    change = np.nonzero(np.diff(flat))[0] + 1
+    bounds = np.concatenate([[0], change, [total]])
+    seg_starts = bounds[:-1]
+    seg_lens = np.diff(bounds)
+    seg_labels = flat[seg_starts]
+
+    out: List[RLE] = []
+    for q in query_ids:
+        sel = seg_labels == q
+        s = seg_starts[sel]
+        l = seg_lens[sel]
+        if s.size == 0:
+            runs = np.asarray([total], np.int64)  # all-zero mask
+        else:
+            runs = np.empty(s.size * 2 + 1, np.int64)
+            runs[0] = s[0]
+            runs[2:-1:2] = s[1:] - (s[:-1] + l[:-1])  # gaps between on-runs
+            runs[1::2] = l
+            runs[-1] = total - (int(s[-1]) + int(l[-1]))
+            if runs[-1] == 0:  # encode() emits no trailing zero-run
+                runs = runs[:-1]
+        out.append({"size": [int(h), int(w)],
+                    "counts": counts_to_string(runs), "_runs": runs})
+    return out
+
+
+def counts_to_string(runs) -> bytes:
+    """Raw run-length counts -> COCO LEB string (native when available)."""
+    r = np.asarray(runs, np.int64)
+    if _HAVE_NATIVE:
+        s = _native.runs_to_string(r)
+        if s is not None:
+            return s
+    return _counts_to_string(r)

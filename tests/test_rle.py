@@ -206,3 +206,38 @@ def test_string_to_counts_vectorized_matches_loop():
     # degenerate: huge single run (multi-group encoding)
     s = rle._counts_to_string(np.asarray([10**7, 5, 10**7]))
     np.testing.assert_array_equal(rle._string_to_counts(s), loop_parse(s))
+
+
+class TestEncodeLabelMap:
+    def test_parity_with_per_mask_encode(self):
+        """encode_label_map must be byte-identical to encoding each query's
+        boolean mask separately (the round-5 postprocess fast path)."""
+        from nopesac_tpu.utils import rle as rle_util
+
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            h, w = int(rng.integers(3, 60)), int(rng.integers(3, 60))
+            nq = int(rng.integers(1, 6))
+            labels = rng.integers(-1, nq, size=(h, w)).astype(np.int32)
+            qids = list(range(nq)) + [123]  # 123 never present -> empty
+            out = rle_util.encode_label_map(labels, qids)
+            for q, r in zip(qids, out):
+                ref = rle_util.encode((labels == q).astype(np.uint8))
+                assert r["counts"] == ref["counts"]
+                assert r["size"] == ref["size"]
+
+    def test_edges(self):
+        from nopesac_tpu.utils import rle as rle_util
+
+        all_on = np.zeros((5, 7), np.int32)
+        all_off = np.full((5, 7), -1, np.int32)
+        for labels in (all_on, all_off):
+            r = rle_util.encode_label_map(labels, [0])[0]
+            ref = rle_util.encode((labels == 0).astype(np.uint8))
+            assert r["counts"] == ref["counts"]
+
+    def test_counts_to_string_matches_python(self):
+        from nopesac_tpu.utils import rle as rle_util
+
+        runs = np.asarray([0, 1, 307199], np.int64)
+        assert rle_util.counts_to_string(runs) == rle_util._counts_to_string(runs)
