@@ -236,8 +236,8 @@ def bench_inference():
         # into the feedback scalar so nothing is dead-code-eliminated
         parts = [
             cam["tran"].sum(), cam["rot"].sum(),
-            out["view0"]["seg_ids"].sum().astype(jnp.float32) + out["view0"]["gate"].sum().astype(jnp.float32),
-            out["view1"]["seg_ids"].sum().astype(jnp.float32) + out["view1"]["gate"].sum().astype(jnp.float32),
+            out["view0"]["seg_gated"].astype(jnp.float32).sum(),
+            out["view1"]["seg_gated"].astype(jnp.float32).sum(),
             out["view0"]["score"].sum(), out["view1"]["score"].sum(),
             out["view0"]["params"].sum(), out["view1"]["params"].sum(),
             out["view0"]["centers"].sum(), out["assignment"].sum(),

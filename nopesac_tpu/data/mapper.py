@@ -62,6 +62,7 @@ class PairMapper:
         augmentation: bool = False,
         seed: int = 42,
         camera_cls_on: bool = False,
+        raw_uint8: bool = False,
     ):
         self.is_train = is_train
         self.kind = dataset_kind
@@ -71,6 +72,16 @@ class PairMapper:
         self.pixel_mean = np.asarray(pixel_mean, np.float32)
         self.pixel_std = np.asarray(pixel_std, np.float32)
         self._pixel_inv_std = (1.0 / self.pixel_std).astype(np.float32)
+        # raw_uint8: emit post-resize uint8 images and let the consumer
+        # normalise on DEVICE ((f32(u8) - mean) * 1/std — identical IEEE f32
+        # ops, bit-equal results). Images are uint8 at the source (PIL), so
+        # this is lossless and ships 4x fewer bytes host->device (the eval
+        # pipeline's dominant cost through the tunnel; PERF.md round 5).
+        # Eval-only: augmentation produces non-integral pixels.
+        self.raw_uint8 = raw_uint8
+        if raw_uint8 and augmentation:
+            raise ValueError("raw_uint8 transport is eval-only "
+                             "(augmentation emits non-integral pixels)")
         self.camera_on = camera_on
         self.eval_gt_box = eval_gt_box
         self.depth_on = depth_on
@@ -300,12 +311,18 @@ class PairMapper:
                 from .augmentation import simclr_augment
 
                 img = simclr_augment(img, aug_rng)
-            # in-place normalise (img is always a fresh float32 array here);
-            # multiply by the precomputed reciprocal - the elementwise divide
-            # was a measurable slice of the per-pair mapping cost
-            img -= self.pixel_mean
-            img *= self._pixel_inv_std
-            sample[f"image{i}"] = img
+            if self.raw_uint8:
+                # source pixels are uint8 (PIL); the consumer normalises
+                # on device with the same constants — bit-equal
+                sample[f"image{i}"] = img.astype(np.uint8)
+            else:
+                # in-place normalise (img is always a fresh float32 array
+                # here); multiply by the precomputed reciprocal - the
+                # elementwise divide was a measurable slice of the per-pair
+                # mapping cost
+                img -= self.pixel_mean
+                img *= self._pixel_inv_std
+                sample[f"image{i}"] = img
 
         if self.is_train or self.eval_gt_box:
             sample["targets0"] = self.view_targets(pair["0"])

@@ -124,29 +124,51 @@ def jit_train_step(train_step: Callable, mesh: Mesh) -> Callable:
 
 def make_eval_step(model, out_h: int = 480, out_w: int = 640,
                    with_gt_geo: bool = False,
-                   with_init_cam: bool = False) -> Callable:
+                   with_init_cam: bool = False,
+                   pixel_mean=None, pixel_std=None) -> Callable:
     """with_gt_geo=True adds a gt_geo argument for the GT-matcher pose
     refinement ablation (cfg.TEST.POSE_REFINEMENT_WITH_GT_MATCHERS; spec
     camera_head.py:520-547). with_init_cam=True adds an init_cam argument
     ({tran [B,3], rot [B,4]}) for the SparsePlanes top-1-camera substitution
     (cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_ON; spec
-    camera_head.py:419-431)."""
+    camera_head.py:419-431).
+
+    pixel_mean/pixel_std: when given, the step accepts RAW uint8 images and
+    normalises in-graph — (f32(u8) - mean) * (1/std), the exact IEEE ops the
+    host mapper performs, so results are bit-equal while the host->device
+    transfer shrinks 4x (PairMapper raw_uint8 transport)."""
+    if pixel_mean is not None:
+        import numpy as np
+
+        _mean = jnp.asarray(np.asarray(pixel_mean, np.float32))
+        _inv_std = jnp.asarray(
+            (1.0 / np.asarray(pixel_std, np.float32)).astype(np.float32))
+
+        def _norm(img):
+            return (img.astype(jnp.float32) - _mean) * _inv_std
+    else:
+        def _norm(img):
+            return img
     if with_gt_geo and with_init_cam:
         def eval_step(variables, image0, image1, gt_geo, init_cam):
-            return model.apply(variables, image0, image1, method=model.inference,
+            return model.apply(variables, _norm(image0), _norm(image1),
+                               method=model.inference,
                                out_h=out_h, out_w=out_w, gt_geo=gt_geo,
                                init_cam=init_cam)
     elif with_gt_geo:
         def eval_step(variables, image0, image1, gt_geo):
-            return model.apply(variables, image0, image1, method=model.inference,
+            return model.apply(variables, _norm(image0), _norm(image1),
+                               method=model.inference,
                                out_h=out_h, out_w=out_w, gt_geo=gt_geo)
     elif with_init_cam:
         def eval_step(variables, image0, image1, init_cam):
-            return model.apply(variables, image0, image1, method=model.inference,
+            return model.apply(variables, _norm(image0), _norm(image1),
+                               method=model.inference,
                                out_h=out_h, out_w=out_w, init_cam=init_cam)
     else:
         def eval_step(variables, image0, image1):
-            return model.apply(variables, image0, image1, method=model.inference,
+            return model.apply(variables, _norm(image0), _norm(image1),
+                               method=model.inference,
                                out_h=out_h, out_w=out_w)
 
     return eval_step

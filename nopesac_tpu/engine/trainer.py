@@ -518,6 +518,9 @@ class Trainer:
             root_dir=cfg.DATASETS.ROOT_DIR, image_size=self.image_hw,
             num_queries=cfg.MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES,
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,
+            # uint8 transport + in-graph normalisation: bit-equal, 4x fewer
+            # host->device bytes (see make_eval_step / PERF.md round 5)
+            raw_uint8=True,
             camera_cls_on=cfg.MODEL.CAMERA_HEAD.CLASSIFICATION_ON,
             # TEST.EVAL_GT_BOX: the mapper ATTACHES GT targets at eval time,
             # exactly the reference's behavior (planercnn_transforms.py:
@@ -563,7 +566,9 @@ class Trainer:
         if key not in self._eval_steps:
             self._eval_steps[key] = jax.jit(make_eval_step(
                 self.model, out_h=h, out_w=w, with_gt_geo=use_gt_matcher,
-                with_init_cam=sp_topcam is not None))
+                with_init_cam=sp_topcam is not None,
+                pixel_mean=cfg.MODEL.PIXEL_MEAN,
+                pixel_std=cfg.MODEL.PIXEL_STD))
         eval_step = self._eval_steps[key]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         if jax.process_count() > 1:

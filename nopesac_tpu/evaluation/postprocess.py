@@ -38,9 +38,14 @@ def _compact_view(view_out: Dict, b: int, image_id: str, file_name: str,
 
     # per-query RLE straight from the gated argmax label map (one pass —
     # no [K, H, W] masks; was 75% of the 88 ms/pair postprocess, PERF.md
-    # round 5). mask_q == (seg_ids == q) & gate == (seg_gated == q).
-    seg_gated = np.where(np.asarray(view_out["gate"][b]),
-                         np.asarray(view_out["seg_ids"][b]), -1)
+    # round 5). mask_q == (seg_gated == q); the device emits the gated
+    # int8 map directly (models/nopesac.py select_planes — 5x fewer bytes
+    # over the tunnel). Legacy dicts with separate seg_ids+gate still work.
+    if "seg_gated" in view_out:
+        seg_gated = np.asarray(view_out["seg_gated"][b])
+    else:
+        seg_gated = np.where(np.asarray(view_out["gate"][b]),
+                             np.asarray(view_out["seg_ids"][b]), -1)
     rles = rle_util.encode_label_map(seg_gated, keep)
 
     total = height * width

@@ -359,18 +359,25 @@ class PlaneTRNopeSAC(nn.Module):
         Fixed-shape: returns per-query validity instead of compacting. The
         full-resolution per-query masks are never materialised — the fused
         upsample/argmax kernel (ops/select_pallas.py) produces an argmax
-        segmentation map + per-query statistics, and per-query masks are
-        reconstructed on the host as (seg_ids == q) & gate & valid[q]
-        (see evaluation/postprocess.py masks_from_seg).
+        segmentation map + per-query statistics; the prob gate is folded in
+        on device and the host derives per-query masks/RLE as
+        (seg_gated == q) for valid q (evaluation/postprocess.py
+        encode_label_map path).
 
         Returns dict with:
           valid [B, NQ] bool, score [B, NQ], params [B, NQ, 3],
-          seg_ids [B, H, W] int32, gate [B, H, W] bool, centers [B, NQ, 2].
+          seg_gated [B, H, W] int8 (gated argmax label map: query id where
+          the prob gate passes, -1 elsewhere — mask_q == (seg_gated == q);
+          int8 because NQ <= 127, cutting the device->host fetch 5x: the
+          axon tunnel moves ~38 MB/s and the old int32 seg + bool gate were
+          24.8 MB per 8-pair batch = 644 ms, the measured pipeline
+          bottleneck), centers [B, NQ, 2].
         """
         logits = outputs["pred_logits"]  # [B, NQ, 2]
         params = outputs["pred_params"]  # [B, NQ, 3]
         mask_logits = outputs["pred_mask_logits"]  # [B, NQ, h, w]
         b, nq, _ = logits.shape
+        assert nq <= 127, "seg_gated is int8 (query ids must fit)"
 
         prob = jax.nn.softmax(logits, axis=-1)
         score = jnp.max(prob, axis=-1)  # [B, NQ]
@@ -438,8 +445,7 @@ class PlaneTRNopeSAC(nn.Module):
             "valid": final_valid,
             "score": score,
             "params": params,
-            "seg_ids": seg_ids,
-            "gate": gate,
+            "seg_gated": jnp.where(gate, seg_ids, -1).astype(jnp.int8),
             "centers": centers,
         }
 

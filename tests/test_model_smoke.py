@@ -131,8 +131,8 @@ class TestInference:
         ))(variables, batch["image0"], batch["image1"])
         v0 = out["view0"]
         assert v0["valid"].shape == (B, NQ)
-        assert v0["seg_ids"].shape == (B, H, W)
-        assert v0["gate"].shape == (B, H, W)
+        assert v0["seg_gated"].shape == (B, H, W)
+        assert v0["seg_gated"].dtype == jnp.int8
         assert v0["params"].shape == (B, NQ, 3)
         assert v0["centers"].shape == (B, NQ, 2)
         assert bool(jnp.any(v0["valid"]))  # zero-detection fallback guarantees >= 1

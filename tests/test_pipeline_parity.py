@@ -373,9 +373,18 @@ class TestPostprocessExecuted:
                 f"{case}: instance {k} RLE differs"
             np.testing.assert_allclose(oi["bbox"], ri["bbox"], atol=1e-6)
             np.testing.assert_allclose(oi["score"], ri["score"], atol=2e-6)
+        # round 5: masks are no longer materialised host-side (the RLE is
+        # built straight from the device label map) — decode our instances'
+        # RLE and compare against the reference's dense masks, which is the
+        # same assertion through a stricter wire format
+        from nopesac_tpu.utils import rle as rle_util
+
         ref_masks = ref["pred_plane_masks"].numpy().astype(bool)
-        np.testing.assert_array_equal(
-            np.asarray(ours["pred_plane_masks"]).astype(bool), ref_masks)
+        ours_masks = np.stack([
+            rle_util.decode({"size": oi["segmentation"]["size"],
+                             "counts": oi["segmentation"]["counts"]})
+            for oi in ours["instances"]]).astype(bool)
+        np.testing.assert_array_equal(ours_masks, ref_masks)
         DIFFS[f"pipeline: postprocess instance RLE+bbox+masks [{case}] "
               "(siamese_planeTR.py:684-803)"] = 0.0
 

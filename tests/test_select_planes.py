@@ -28,9 +28,7 @@ def _run(logits, mask_logits):
 
 
 def _mask(sel, q):
-    seg = np.asarray(sel["seg_ids"][0])
-    gate = np.asarray(sel["gate"][0])
-    return (seg == q) & gate
+    return np.asarray(sel["seg_gated"][0]) == q
 
 
 class TestZeroDetection:
@@ -77,7 +75,8 @@ class TestAllFiltered:
         sel = _run(logits, mask_logits)
         valid = np.asarray(sel["valid"][0])
         assert valid.sum() == 1 and valid[0], "tie broken by first index"
-        gate = np.asarray(sel["gate"][0])
-        assert gate.all(), "fallback mask must be UNGATED"
+        # fallback mask must be UNGATED: the whole image is labelled (no
+        # -1 background left by the gate)
+        assert (np.asarray(sel["seg_gated"][0]) >= 0).all()
         m = _mask(sel, 0)
         assert m[:, :4].all() and not m[:, 4:].any()

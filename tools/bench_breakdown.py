@@ -74,8 +74,8 @@ def full(v, i0, fb):
                       out_h=H, out_w=W)
     cam = out["cameras"]["camera"]
     parts = [cam["tran"].sum(), cam["rot"].sum(),
-             out["view0"]["seg_ids"].sum().astype(jnp.float32) + out["view0"]["gate"].sum().astype(jnp.float32),
-             out["view1"]["seg_ids"].sum().astype(jnp.float32) + out["view1"]["gate"].sum().astype(jnp.float32),
+             out["view0"]["seg_gated"].astype(jnp.float32).sum(),
+             out["view1"]["seg_gated"].astype(jnp.float32).sum(),
              out["assignment"].sum()]
     return sum(p.astype(jnp.float32) for p in parts) * 1e-20
 
@@ -96,8 +96,8 @@ for bs in (16, 32):
                           out_h=H, out_w=W)
         cam = out["cameras"]["camera"]
         parts = [cam["tran"].sum(), cam["rot"].sum(),
-                 out["view0"]["seg_ids"].sum().astype(jnp.float32) + out["view0"]["gate"].sum().astype(jnp.float32),
-                 out["view1"]["seg_ids"].sum().astype(jnp.float32) + out["view1"]["gate"].sum().astype(jnp.float32),
+                 out["view0"]["seg_gated"].astype(jnp.float32).sum(),
+                 out["view1"]["seg_gated"].astype(jnp.float32).sum(),
                  out["assignment"].sum()]
         return sum(p.astype(jnp.float32) for p in parts) * 1e-20
 

@@ -45,7 +45,7 @@ def main():
         out = model.apply(v, i0 + fb, i1, method=model.inference, out_h=h, out_w=w)
         cam = out["cameras"]["camera"]
         s = (cam["tran"].sum() + cam["rot"].sum()
-             + out["view0"]["seg_ids"].sum().astype(jnp.float32)
+             + out["view0"]["seg_gated"].astype(jnp.float32).sum()
              + out["assignment"].sum())
         return s.astype(jnp.float32) * 1e-20
 

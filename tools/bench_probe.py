@@ -42,8 +42,8 @@ def infer(v, i0, i1):
     out = model.apply(v, i0, i1, method=model.inference, out_h=h, out_w=w)
     cam = out["cameras"]["camera"]
     return {"tran": cam["tran"], "rot": cam["rot"],
-            "seg0": out["view0"]["seg_ids"], "gate0": out["view0"]["gate"],
-            "seg1": out["view1"]["seg_ids"], "gate1": out["view1"]["gate"],
+            "seg0": out["view0"]["seg_gated"],
+            "seg1": out["view1"]["seg_gated"],
             "valid0": out["view0"]["valid"], "assignment": out["assignment"]}
 
 
