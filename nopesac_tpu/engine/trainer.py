@@ -560,7 +560,21 @@ class Trainer:
             import pickle
             with open(cfg.MODEL.CAMERA_HEAD.INFERENCE_SP_TOPCAM_PATH, "rb") as f:
                 sp_topcam = pickle.load(f)
-        key = (use_gt_matcher, sp_topcam is not None, h, w)
+        bs = int(cfg.TEST.IMS_PER_BATCH)
+        # Local data-parallel eval (round 5): shard the eval batch over this
+        # host's devices (as many as divide TEST.IMS_PER_BATCH). Eval stays a
+        # per-host LOCAL program in every configuration — multi-host runs
+        # keep their per-host dataset slices and merge via host_gather — but
+        # a multi-chip host no longer idles all chips but one. d == 1
+        # reproduces the old single-device behaviour exactly.
+        import math as _math
+
+        d = _math.gcd(bs, jax.local_device_count())
+        eval_mesh = make_mesh(d, local=True)
+        eval_repl = NamedSharding(eval_mesh, P())
+        eval_bsh = NamedSharding(eval_mesh, P("data"))
+
+        key = (use_gt_matcher, sp_topcam is not None, h, w, d)
         if getattr(self, "_eval_steps", None) is None:
             self._eval_steps = {}
         if key not in self._eval_steps:
@@ -571,20 +585,19 @@ class Trainer:
                 pixel_std=cfg.MODEL.PIXEL_STD))
         eval_step = self._eval_steps[key]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        # Re-home the state onto the local eval mesh (always: the train
+        # state may be committed to a different/larger mesh than the eval
+        # batch's, and mixing committed shardings in one jit raises
+        # incompatible-devices). Multi-host: the state lives on the GLOBAL
+        # cross-process mesh while eval inputs are host-local and each host
+        # loops over a different-length dataset slice (a global program
+        # with per-host iteration counts would deadlock), so hop through
+        # host memory; only evaluator.evaluate()'s host_gather crosses
+        # processes. Single-host: a direct device_put reshard suffices.
         if jax.process_count() > 1:
-            # Mid-train eval under multi-host DP: self.state is committed to
-            # the GLOBAL cross-process mesh, but eval inputs are host-local
-            # and each host loops over a different-length dataset slice —
-            # mixing them in one jit raises incompatible-devices (and a
-            # global program with per-host iteration counts would deadlock).
-            # Re-home the replicated state onto a process-local 1-device
-            # mesh so each host runs an independent local program; only
-            # evaluator.evaluate()'s host_gather crosses processes (same
-            # design as the eval-only constructor path above).
-            local_repl = NamedSharding(make_mesh(1, local=True), P())
-            variables = jax.device_put(jax.device_get(variables), local_repl)
-
-        bs = int(cfg.TEST.IMS_PER_BATCH)
+            variables = jax.device_put(jax.device_get(variables), eval_repl)
+        else:
+            variables = jax.device_put(variables, eval_repl)
         # one-step software pipeline: jax dispatch is async, so enqueueing
         # batch i+1 BEFORE fetching/postprocessing batch i overlaps the host
         # half (RLE, instance assembly, metric accumulation) with device
@@ -604,39 +617,50 @@ class Trainer:
         debug_camera = bool(cfg.get("DEBUG_CAMERA_ON", False))
         debug_iter = 0
         t_loop0 = time.perf_counter()
+        def _put(stacked):
+            return jax.device_put(jnp.asarray(stacked), eval_bsh)
+
         for lo in range(0, len(dataset_list), bs):
             chunk = dataset_list[lo: lo + bs]
             debug_iter += 1
             if debug_camera:
                 print("**********************> ", debug_iter, flush=True)
             samples = [mapper(d) for d in chunk]
-            img0 = jnp.asarray(np.stack([s["image0"] for s in samples]))
-            img1 = jnp.asarray(np.stack([s["image1"] for s in samples]))
+            n_real = len(samples)
+            # pad the tail chunk to the fixed batch size (repeat the last
+            # sample): keeps ONE compiled eval graph for every batch (no
+            # tail-shape retrace) and keeps the batch divisible by the
+            # eval mesh; padded rows are dropped before postprocess
+            samples = samples + [samples[-1]] * (bs - n_real)
+            img0 = _put(np.stack([s["image0"] for s in samples]))
+            img1 = _put(np.stack([s["image1"] for s in samples]))
+            pad_chunk = list(chunk) + [chunk[-1]] * (bs - n_real)
             extra = []
             if use_gt_matcher:
                 gt_geo = gt_geo_from_samples(
-                    chunk, samples, self.model.num_queries, noise_rng=noise_rng,
+                    pad_chunk, samples, self.model.num_queries, noise_rng=noise_rng,
                     scale_offset=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_OFFSET_SCALE,
                     scale_normal_deg=cfg.TEST.POSE_REFINEMENT_WITH_GT_NOISE_MATCHERS_NORMAL_SCALE,
                 )
-                extra.append({k: jnp.asarray(v) for k, v in gt_geo.items()})
+                extra.append({k: _put(v) for k, v in gt_geo.items()})
             if sp_topcam is not None:
                 # KeyError on a missing pair matches the reference's direct
                 # dict indexing (camera_head.py:424)
                 cams = [sp_topcam[d["0"]["image_id"] + "-" + d["1"]["image_id"]]
-                        for d in chunk]
+                        for d in pad_chunk]
                 extra.append({
-                    "tran": jnp.asarray(np.stack(
+                    "tran": _put(np.stack(
                         [np.asarray(c["position"], np.float32).reshape(3)
                          for c in cams])),
-                    "rot": jnp.asarray(np.stack(
+                    "rot": _put(np.stack(
                         [np.asarray(c["rotation"], np.float32).reshape(4)
                          for c in cams])),
                 })
             fut = eval_step(variables, img0, img1, *extra)
             if pending is not None:
                 _drain(pending)
-            pending = (chunk, [s["meta"] for s in samples], fut)
+            # metas sliced to the real rows: postprocess iterates len(metas)
+            pending = (chunk, [s["meta"] for s in samples[:n_real]], fut)
         if pending is not None:
             _drain(pending)
         # end-to-end pipeline rate over the inference loop: host mapping +

@@ -108,6 +108,42 @@ class TestEvalSlice:
         assert "depth_l1_dist" in results
         assert np.isfinite(results["depth_l1_dist"])
 
+    def test_local_multidevice_eval_matches_single(self, tmp_path):
+        """Round-5 sharded eval: with TEST.IMS_PER_BATCH=4 on the virtual
+        8-device mesh the eval batch shards over gcd(4, 8)=4 local devices,
+        and a 3-pair dataset forces tail padding (3 real + 1 repeat). The
+        metrics must match the 1-device (bs=1) evaluation of the same
+        dataset exactly — per-sample compute is sharding-invariant and the
+        padded row must be dropped."""
+        from nopesac_tpu.engine.trainer import Trainer
+
+        data = make_dataset(n_pairs=3, n_planes=4, h=H, w=W, seed=9)
+
+        def run(bs, out):
+            cfg = get_cfg()
+            cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+            cfg.MODEL.EMBEDDING_ON = True
+            cfg.MODEL.CAMERA_ON = True
+            cfg.MODEL.CAMERA_HEAD.NAME = "PlaneCameraHead"
+            cfg.MODEL.CAMERA_HEAD.REFINE_ON = True
+            cfg.MODEL.CAMERA_HEAD.CAM_REC_ON = True
+            cfg.MODEL.SEM_SEG_HEAD.PARAM_ON = True
+            cfg.MODEL.SEM_SEG_HEAD.CENTER_ON = True
+            cfg.TEST.IMS_PER_BATCH = bs
+            cfg.OUTPUT_DIR = str(tmp_path / out)
+            cfg.freeze()
+            t = Trainer(cfg, image_hw=(H, W))
+            return t.test(dataset_list=data)
+
+        import jax
+
+        assert jax.device_count() >= 4  # conftest's virtual mesh
+        r4 = run(4, "md4")   # sharded over 4 devices + tail padding
+        r1 = run(1, "md1")   # the old single-device path
+        for k in ("R median err", "T median err", "mask_ap@0.5",
+                  "precision", "recall"):
+            assert np.asarray(r4[k]) == np.asarray(r1[k]), (k, r4[k], r1[k])
+
     def test_sp_topcam_substitution(self, tmp_path):
         """INFERENCE_SP_TOPCAM_ON: the initial camera must come from the
         SparsePlanes pickle keyed "<image_id1>-<image_id2>" (reference
