@@ -101,6 +101,13 @@ class _LoaderClosed(Exception):
     """Producer-side signal: the loader was close()d mid-epoch."""
 
 
+class _ProducerError:
+    """Queue envelope for an exception raised in the producer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PairLoader:
     def __init__(
         self,
@@ -299,6 +306,21 @@ class PairLoader:
         return idx
 
     def _produce(self, q: "queue.Queue", stop: threading.Event):
+        try:
+            self._produce_inner(q, stop)
+        except Exception as e:  # surface to the consumer, don't hang it
+            # a mapper/worker exception used to kill this thread silently,
+            # leaving the consumer blocked in q.get() FOREVER (observed with
+            # a dataset-kind/mapper mismatch); ship the exception through
+            # the queue so __iter__ re-raises it in the consumer thread
+            while not stop.is_set():
+                try:
+                    q.put(_ProducerError(e), timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
+    def _produce_inner(self, q: "queue.Queue", stop: threading.Event):
         def _put(batch) -> bool:
             # bounded put that honours stop: a consumer that abandons
             # the iterator (e.g. train() breaking at max_iter) would
@@ -361,6 +383,9 @@ class PairLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, _ProducerError):
+                    raise RuntimeError(
+                        "data loader producer failed") from batch.exc
                 yield batch
         finally:
             stop.set()

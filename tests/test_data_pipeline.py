@@ -299,3 +299,21 @@ def test_loader_worker_pool_augmentation_advances():
     inline = list(PairLoader(data, mapper, num_workers=0, seed=7, **kw))
     for bp, bi in zip(pooled, inline):
         np.testing.assert_array_equal(bp["image0"], bi["image0"])
+
+
+def test_producer_exception_surfaces_not_hangs():
+    """A mapper that raises must surface the error to the consumer instead
+    of killing the producer thread silently (the consumer then blocked in
+    q.get() forever — round-5 liveness bug found by the scannet config
+    smoke test)."""
+    import pytest
+
+    from nopesac_tpu.data.loader import PairLoader
+
+    def bad_mapper(d, aug_seed=None):
+        raise ValueError("boom")
+
+    loader = PairLoader([{"x": 1}, {"x": 2}], bad_mapper, batch_size=2,
+                        shuffle=False, drop_last=False, num_workers=0)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(iter(loader))

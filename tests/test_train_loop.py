@@ -109,3 +109,45 @@ class TestTrainLoop:
         s = jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
         np.testing.assert_allclose(
             r["camera_head"]["trans"]["kernel"], s["camera_head"]["trans"]["kernel"])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("config,nq", [("train_scannet_step1.yaml", None),
+                                       ("train_scannet_step2.yaml", 25)])
+def test_shipped_scannet_configs_construct_and_step(config, nq, tmp_path):
+    """The shipped ScanNet configs must construct a Trainer and run one
+    finite train step — both as shipped (NQ=50) and under a
+    NUM_OBJECT_QUERIES CLI override (the round-5 2-process test found the
+    init-probe mapper hardcoded 50 query slots, so ANY non-default NQ
+    crashed Trainer init, engine/trainer._init_state)."""
+    import os
+
+    from nopesac_tpu.config.config import get_cfg
+    from nopesac_tpu.data.synthetic import make_dataset
+    from nopesac_tpu.engine.trainer import Trainer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(repo, "configs", config))
+    cfg.MODEL.WEIGHTS = ""  # released checkpoints are not on this host
+    # the shipped configs name real scannet splits; synthetic records are
+    # mp3d-shaped, so point TRAIN at the synthetic split (the mapper kind
+    # follows the split name — a scannet mapper on mp3d records raises,
+    # which is also how this test caught the producer-hang liveness bug)
+    cfg.DATASETS.TRAIN = ("synthetic_train",)
+    cfg.DATASETS.TEST = ("synthetic_test",)
+    cfg.MODEL.MATCHING_HEAD.SINKHORN_ITERS = 10
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 100
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.PRECISE_BN.ENABLED = False
+    cfg.DATALOADER.NUM_WORKERS = 0
+    if nq is not None:
+        cfg.merge_from_list(["MODEL.SEM_SEG_HEAD.NUM_OBJECT_QUERIES", str(nq)])
+    cfg.OUTPUT_DIR = str(tmp_path / config.replace(".yaml", ""))
+    cfg.freeze()
+    data = make_dataset(n_pairs=2, n_planes=4, h=96, w=128, seed=13)
+    trainer = Trainer(cfg, dataset_list=data, image_hw=(96, 128))
+    state = trainer.train()
+    assert int(state.step) == 1
