@@ -377,6 +377,9 @@ class PairLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
+        if not hasattr(self, "_producers"):
+            self._producers = []
+        self._producers.append((t, stop))
         t.start()
         try:
             while True:
@@ -392,9 +395,20 @@ class PairLoader:
 
     def close(self):
         self._closing = True
+        # Shutdown order matters: (1) signal producers, (2) terminate the
+        # pool — this also unblocks a producer parked in map_async.get()
+        # with a "Pool not running" error it handles as _LoaderClosed —
+        # (3) join producers, (4) only then unlink the slab. A thread still
+        # mid-copy over the shm buffer at unlink time would segfault on the
+        # unmapped pages (bounded join — the threads are daemons).
+        for t, stop in getattr(self, "_producers", []):
+            stop.set()
         if self._pool is not None:
             self._pool.terminate()
             self._pool = None
+        for t, stop in getattr(self, "_producers", []):
+            t.join(timeout=2.0)
+        self._producers = []
         if self._shm is not None:
             try:
                 self._shm.close()
